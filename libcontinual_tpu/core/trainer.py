@@ -1,0 +1,445 @@
+"""The task-incremental trainer.
+
+Re-design of reference core/trainer.py:259-720 with TPU-native execution:
+
+  * each task's data (train arrays + concatenated replay buffer) is moved to
+    device once; batching = in-graph gathers by a permutation matrix;
+  * a full epoch runs as ONE ``lax.scan``-compiled XLA program (per-step
+    Python dispatch only for methods that opt out via ``scan_safe=False``);
+  * the per-step learning rate is streamed in as data, so every scheduler in
+    the reference zoo (incl. PatienceSchedule's loss-reactive decay and
+    per-iteration CosineAnnealingWarmUp, reference trainer.py:397-404,590-591)
+    reuses one compiled program;
+  * evaluation is a jitted argmax pass; accuracy bookkeeping reproduces the
+    reference's acc_table / forgetting / BWT / per-task prints
+    (reference trainer.py:340-532, 616-720);
+  * data-parallel scaling: batches are sharded over the mesh's ``data`` axis,
+    parameters replicated; XLA inserts the gradient psum (this replaces the
+    reference's disabled DDP path, trainer.py:37-38).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from libcontinual_tpu.core.buffer import LinearBuffer, build_buffer
+from libcontinual_tpu.core.metrics import compute_bwt, compute_frgt, count_parameters
+from libcontinual_tpu.core.optim import make_schedule
+from libcontinual_tpu.data.continual import TaskData, build_stream
+from libcontinual_tpu.parallel.mesh import MeshContext, make_mesh
+from libcontinual_tpu.registry import METHODS
+from libcontinual_tpu.utils import AverageMeter, get_logger, init_seed
+
+# method modules register themselves on import
+import libcontinual_tpu.methods  # noqa: F401
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], workdir: Optional[str] = None):
+        self.config = config
+        self.log = get_logger(workdir or config.get("save_path") or None)
+        init_seed(int(config.get("seed", 0)), bool(config.get("deterministic", True)))
+
+        mesh_cfg = config.get("mesh") or {}
+        self.mesh = make_mesh(
+            int(mesh_cfg.get("data", -1)), int(mesh_cfg.get("model", 1))
+        )
+        self.task_num = int(config["task_num"])
+        self.init_cls_num = int(config["init_cls_num"])
+        self.inc_cls_num = int(config["inc_cls_num"])
+        self.batch_size = int(config["batch_size"])
+        # even sharding over the data axis
+        d = self.mesh.data_size
+        if self.batch_size % d:
+            self.batch_size = _ceil_div(self.batch_size, d) * d
+            self.log.info("batch_size rounded to %d for %d-way data sharding",
+                          self.batch_size, d)
+        self.val_per_epoch = int(config.get("val_per_epoch", 1))
+        self.setting = config.get("setting", "task-agnostic")
+        self.init_epoch = int(config.get("init_epoch", config["epoch"]))
+        self.inc_epoch = int(config["epoch"])
+
+        self.train_stream, cls_map = build_stream(config, "train")
+        self.test_stream, _ = build_stream(config, "test", cls_map)
+
+        method_name = config["classifier"]["name"]
+        self.method = METHODS.get(method_name)(config, self.mesh)
+        self.buffer: LinearBuffer = build_buffer(config)
+
+        h, w, c = self.train_stream.task(0).images.shape[1:]
+        rng = jax.random.PRNGKey(int(config.get("seed", 0)))
+        self.state = self.method.init_state(rng, (h, w, c))
+
+        self._jit_cache: Dict[Any, Any] = {}
+        self._eval_fn = jax.jit(self.method.eval_step)
+        self._feature_fn = jax.jit(self._features)
+
+        self.acc_table = np.zeros((self.task_num, self.task_num))
+        self.epoch_scan = bool(config.get("epoch_scan", True)) and self.method.scan_safe
+
+    # ------------------------------------------------------------- jitted fns
+
+    def _features(self, state, images):
+        x = self.method.augment(None, images, train=False)
+        out, _ = self.method.apply_backbone(
+            state.params, state.mvars["model_state"], x, train=False
+        )
+        return out["features"]
+
+    def _get_epoch_fn(self, tx):
+        key = ("epoch", id(tx))
+        if key not in self._jit_cache:
+            method = self.method
+
+            def epoch_fn(state, images, labels, perm, weights, lrs):
+                def body(st, xs):
+                    idx, wgt, lr = xs
+                    batch = {
+                        "image": jnp.take(images, idx, axis=0),
+                        "label": jnp.take(labels, idx, axis=0),
+                        "weight": wgt,
+                    }
+                    st, m = method.train_step(st, batch, lr, tx=tx)
+                    m = dict(m, w=jnp.sum(wgt))
+                    return st, m
+
+                return jax.lax.scan(body, state, (perm, weights, lrs))
+
+            self._jit_cache[key] = jax.jit(epoch_fn, donate_argnums=(0,))
+        return self._jit_cache[key]
+
+    def _get_step_fn(self, tx):
+        key = ("step", id(tx))
+        if key not in self._jit_cache:
+            method = self.method
+
+            def step_fn(state, batch, lr):
+                st, m = method.train_step(state, batch, lr, tx=tx)
+                return st, dict(m, w=jnp.sum(batch["weight"]))
+
+            self._jit_cache[key] = jax.jit(step_fn, donate_argnums=(0,))
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------- data
+
+    def _epoch_indices(self, n: int, epoch_seed: int):
+        """Shuffled, padded index matrix + weights (pad positions weigh 0)."""
+        rng = np.random.RandomState(epoch_seed)
+        perm = rng.permutation(n)
+        steps = _ceil_div(n, self.batch_size)
+        total = steps * self.batch_size
+        pad = total - n
+        idx = np.concatenate([perm, perm[: pad]]) if pad else perm
+        weights = np.ones(total, np.float32)
+        if pad:
+            weights[n:] = 0.0
+        return (
+            idx.reshape(steps, self.batch_size).astype(np.int32),
+            weights.reshape(steps, self.batch_size),
+        )
+
+    def _device_task_data(self, td: TaskData):
+        rep = self.mesh.replicated_sharding()
+        images = jax.device_put(np.ascontiguousarray(td.images), rep)
+        labels = jax.device_put(np.ascontiguousarray(td.labels.astype(np.int32)), rep)
+        return images, labels
+
+    def _shard_step_arrays(self, idx, weights):
+        sh = NamedSharding(self.mesh.mesh, P(None, "data"))
+        return jax.device_put(idx, sh), jax.device_put(weights, sh)
+
+    # ------------------------------------------------------------------ train
+
+    def _train_task(self, task_idx: int, task_data: TaskData, sched) -> None:
+        method = self.method
+        tx = method._tx_for_task(task_idx)
+        n = len(task_data)
+        images, labels = self._device_task_data(task_data)
+        epochs = self.init_epoch if task_idx == 0 else self.inc_epoch
+        seed = int(self.config.get("seed", 0))
+        profile = bool(self.config.get("profile")) and task_idx == 0
+
+        for epoch_idx in range(epochs):
+            idx, weights = self._epoch_indices(n, seed + epoch_idx)
+            lrs = sched.step_lrs(epoch_idx)
+            steps = idx.shape[0]
+            if len(lrs) < steps:
+                lrs = np.resize(lrs, steps)
+            lrs = lrs[:steps].astype(np.float32)
+            idx_d, w_d = self._shard_step_arrays(idx, weights)
+
+            t0 = time.perf_counter()
+            ctx = (
+                jax.profiler.trace(self.config.get("save_path") or "/tmp/jax-trace")
+                if profile and epoch_idx == 1
+                else _null_ctx()
+            )
+            with ctx:
+                if self.epoch_scan:
+                    fn = self._get_epoch_fn(tx)
+                    self.state, ms = fn(self.state, images, labels, idx_d, w_d, lrs)
+                    ms = jax.device_get(ms)
+                else:
+                    fn = self._get_step_fn(tx)
+                    accs, losses, ws = [], [], []
+                    for s in range(steps):
+                        batch = {
+                            "image": jnp.take(images, idx_d[s], axis=0),
+                            "label": jnp.take(labels, idx_d[s], axis=0),
+                            "weight": w_d[s],
+                        }
+                        self.state, m = fn(self.state, batch, jnp.float32(lrs[s]))
+                        losses.append(m["loss"])
+                        accs.append(m["acc"])
+                        ws.append(m["w"])
+                    ms = {
+                        "loss": np.asarray(jax.device_get(losses)),
+                        "acc": np.asarray(jax.device_get(accs)),
+                        "w": np.asarray(jax.device_get(ws)),
+                    }
+            jax.block_until_ready(self.state.params)
+            dt = time.perf_counter() - t0
+
+            wsum = float(np.sum(ms["w"])) or 1.0
+            ep_loss = float(np.sum(np.asarray(ms["loss"]) * np.asarray(ms["w"])) / wsum)
+            ep_acc = float(np.sum(np.asarray(ms["acc"]) * np.asarray(ms["w"])) / wsum)
+            ips = wsum / dt
+            self.log.info(
+                "Task %d epoch [%d/%d] lr %.5f | loss %.4f acc %.2f | %.0f img/s",
+                task_idx, epoch_idx, epochs, float(lrs[0]), ep_loss, ep_acc * 100, ips,
+            )
+            self.log.event(
+                "train_epoch", task=task_idx, epoch=epoch_idx, loss=ep_loss,
+                acc=ep_acc, images_per_sec=ips, lr=float(lrs[0]),
+            )
+
+            if (
+                method.validate_enabled
+                and self.val_per_epoch > 0
+                and ((epoch_idx + 1) % self.val_per_epoch == 0 or epoch_idx + 1 == epochs)
+                and bool(self.config.get("eval_with_test", True))
+                and epochs > 1
+                and epoch_idx + 1 < epochs
+            ):
+                res = self._validate(task_idx)
+                self.log.info(
+                    " * val: avg %.2f per-task %s", res["avg_acc"], res["per_task_acc"]
+                )
+
+            sched.observe(ep_loss)
+            if sched.should_stop():
+                self.log.info("PatienceSchedule lr below stopping_lr; ending task")
+                break
+
+    # ------------------------------------------------------------------- eval
+
+    def _eval_task_data(self, td: TaskData, task_id: int):
+        n = len(td)
+        steps = _ceil_div(n, self.batch_size)
+        total = steps * self.batch_size
+        pad = total - n
+        idx = np.arange(n)
+        if pad:
+            idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+        correct = 0
+        tid = jnp.asarray(task_id, jnp.int32)
+        rep = self.mesh.replicated_sharding()
+        sh = NamedSharding(self.mesh.mesh, P("data"))
+        for s in range(steps):
+            bidx = idx[s * self.batch_size : (s + 1) * self.batch_size]
+            batch = {
+                "image": jax.device_put(td.images[bidx], sh),
+                "label": jax.device_put(td.labels[bidx].astype(np.int32), sh),
+            }
+            preds = np.asarray(self._eval_fn(self.state, batch, tid))
+            valid = s * self.batch_size + np.arange(self.batch_size) < n
+            correct += int(np.sum((preds == td.labels[bidx]) & valid))
+        return correct, n
+
+    def _validate(self, task_idx: int) -> Dict[str, Any]:
+        """Per-task accuracies on tasks 0..task_idx
+        (reference trainer.py:616-720; our eval is deterministic so the
+        testing_per_task True/False paths coincide)."""
+        per_task_acc: List[float] = []
+        correct_all, count_all = 0, 0
+        for t, td in enumerate(self.test_stream.tasks_up_to(task_idx)):
+            tid = t if self.setting == "task-aware" else -1
+            c, n = self._eval_task_data(td, tid)
+            correct_all += c
+            count_all += n
+            per_task_acc.append(round(c * 100.0 / max(n, 1), 2))
+        return {
+            "avg_acc": round(correct_all * 100.0 / max(count_all, 1), 2),
+            "per_task_acc": per_task_acc,
+        }
+
+    # -------------------------------------------------------------- main loop
+
+    def train_loop(self) -> Dict[str, Any]:
+        cfg = self.config
+        t_begin = time.time()
+        method = self.method
+        batch_last_acc_list = np.zeros(self.task_num)
+        task_last_acc_list = np.zeros(self.task_num)
+        frgt_list, bwt_list = [], []
+
+        for task_idx in range(self.task_num):
+            self.log.info("================ Task %d start ================", task_idx)
+            lo, hi = self.train_stream.class_range(task_idx)
+            task_data = self.train_stream.task(task_idx)
+
+            self.state = method.start_task(self.state, task_idx, lo, hi)
+            self.state = method.before_task(self.state, task_idx, task_data)
+
+            # LinearBuffer-family replay: concatenate exemplars into the task
+            # data (reference trainer.py:305-322)
+            train_data = task_data
+            if (
+                method.concat_buffer
+                and self.buffer.buffer_size > 0
+                and task_idx > 0
+                and len(self.buffer) > 0
+            ):
+                bd = self.buffer.as_task_data()
+                if bd is not None:
+                    train_data = task_data.concat(bd)
+
+            self.state = method.reset_optimizer(self.state, task_idx)
+            steps_per_epoch = _ceil_div(len(train_data), self.batch_size)
+            epochs = self.init_epoch if task_idx == 0 else self.inc_epoch
+            sched = make_schedule(cfg, steps_per_epoch, epochs, task_idx)
+
+            n_params = count_parameters(self.state.params)
+            self.log.info(
+                "training samples: %d | params: %d", len(train_data), n_params
+            )
+
+            self._train_task(task_idx, train_data, sched)
+
+            self.state = method.after_task(self.state, task_idx, task_data)
+
+            # buffer update (reference trainer.py:409-418)
+            if method.concat_buffer:
+                self.buffer.total_classes += (
+                    self.init_cls_num if task_idx == 0 else self.inc_cls_num
+                )
+                if self.buffer.buffer_size > 0:
+                    self.buffer.update(
+                        task_data,
+                        feature_fn=lambda im: self._batched_features(im),
+                        seed=int(cfg.get("seed", 0)) + task_idx,
+                    )
+                    self.state = method.on_buffer_updated(
+                        self.state, task_idx, self.buffer
+                    )
+
+            # method-owned extra phases (e.g. BiC stage-2 bias training)
+            self.state = method.extra_phases(self, self.state, task_idx, task_data)
+
+            res = self._validate(task_idx)
+            per_task_acc = np.asarray(res["per_task_acc"])
+            batch_last_acc_list[task_idx] = res["avg_acc"]
+            task_last_acc_list[task_idx] = float(np.mean(per_task_acc))
+            self.acc_table[task_idx, : task_idx + 1] = per_task_acc
+            frgt = compute_frgt(self.acc_table, self.acc_table[task_idx], task_idx)
+            bwt = compute_bwt(self.acc_table, self.acc_table[task_idx], task_idx)
+            if task_idx > 1:
+                frgt_list.append(frgt)
+                bwt_list.append(bwt)
+            self.log.info(
+                "================ Task %d result ================", task_idx
+            )
+            self.log.info(
+                " * [Batch] last avg acc: %.2f | [Task] last avg acc: %.2f",
+                res["avg_acc"], task_last_acc_list[task_idx],
+            )
+            self.log.info(" * frgt %.3f bwt %.2f", frgt, bwt)
+            self.log.info(" * per-task acc: %s", res["per_task_acc"])
+            self.log.event(
+                "task_done", task=task_idx, avg_acc=res["avg_acc"],
+                per_task_acc=res["per_task_acc"], frgt=frgt, bwt=bwt,
+            )
+
+        t_idx = self.task_num - 1
+        overall = {
+            "acc_table": self.acc_table,
+            "last_avg_acc": float(batch_last_acc_list[t_idx]),
+            "batch_ovr_avg_acc": float(np.mean(batch_last_acc_list)),
+            "task_ovr_avg_acc": float(
+                np.sum(
+                    np.sum(self.acc_table[: t_idx + 1], axis=1)
+                    / np.arange(1, t_idx + 2)
+                )
+                / (t_idx + 1)
+            ),
+            "ovr_frgt": float(np.mean(frgt_list)) if frgt_list else float("inf"),
+            "ovr_bwt": float(np.mean(bwt_list)) if bwt_list else float("-inf"),
+            "time_sec": time.time() - t_begin,
+        }
+        overall["fps"] = self._compute_fps()
+        self.log.info("================ Overall ================")
+        self.log.info(
+            " * last avg acc %.2f | overall avg acc %.2f | frgt %.3f | bwt %.2f",
+            overall["last_avg_acc"], overall["batch_ovr_avg_acc"],
+            overall["ovr_frgt"], overall["ovr_bwt"],
+        )
+        self.log.info(
+            " * time %.1fs | inference fps %.0f", overall["time_sec"], overall["fps"]
+        )
+        self.log.event("run_done", **{k: v for k, v in overall.items() if k != "acc_table"})
+        return overall
+
+    # ------------------------------------------------------------------ misc
+
+    def _batched_features(self, images_uint8: np.ndarray) -> np.ndarray:
+        outs = []
+        bs = self.batch_size
+        n = len(images_uint8)
+        for s in range(_ceil_div(n, bs)):
+            chunk = images_uint8[s * bs : (s + 1) * bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            f = np.asarray(self._feature_fn(self.state, jnp.asarray(chunk)))
+            outs.append(f[: bs - pad] if pad else f)
+        return np.concatenate(outs)
+
+    def _compute_fps(self) -> float:
+        """Inference throughput probe (reference utils.py:235-257 runs 100
+        single-image inferences; we time the jitted eval step)."""
+        td = self.test_stream.task(0)
+        bidx = np.arange(min(self.batch_size, len(td)))
+        if len(bidx) < self.batch_size:
+            bidx = np.resize(bidx, self.batch_size)
+        batch = {
+            "image": jnp.asarray(td.images[bidx]),
+            "label": jnp.asarray(td.labels[bidx].astype(np.int32)),
+        }
+        tid = jnp.asarray(-1, jnp.int32)
+        self._eval_fn(self.state, batch, tid)  # warmup/compile
+        n_iter = 30
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            preds = self._eval_fn(self.state, batch, tid)
+        jax.block_until_ready(preds)
+        dt = time.perf_counter() - t0
+        return n_iter * self.batch_size / dt
+
+
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

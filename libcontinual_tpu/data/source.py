@@ -1,0 +1,162 @@
+"""Dataset sources: load a whole split into host memory as uint8 arrays.
+
+Storage contract: ``{"images": uint8 (N, H, W, 3), "labels": int32 (N,),
+"class_names": [str]}`` with labels in the *original* (unpermuted) class ids.
+Class permutation happens in :mod:`libcontinual_tpu.data.continual`.
+
+Supported formats (mirroring reference core/data/dataset.py:232-304):
+  * ``folder``: ``data_root/{train,test}/<class_name>/*.{jpg,png,...}``
+  * ``binary_cifar100``: raw CIFAR pickle at ``data_root/cifar-100-python/{train,test}``
+  * ``synthetic``: deterministic generated data (for tests/benchmarks and
+    machines without datasets) — class-conditional patterns + noise so models
+    can genuinely learn and CL dynamics (forgetting etc.) are observable.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from libcontinual_tpu.registry import DATASETS
+
+IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def _load_folder(data_root: str, mode: str, storage_size: Optional[int]) -> Dict:
+    from PIL import Image
+
+    split_dir = os.path.join(data_root, mode)
+    class_names = sorted(
+        d for d in os.listdir(split_dir) if os.path.isdir(os.path.join(split_dir, d))
+    )
+    images: List[np.ndarray] = []
+    labels: List[int] = []
+    for label, cls in enumerate(class_names):
+        cls_dir = os.path.join(split_dir, cls)
+        for fname in sorted(os.listdir(cls_dir)):
+            if os.path.splitext(fname)[1].lower() not in IMG_EXTS:
+                continue
+            img = Image.open(os.path.join(cls_dir, fname)).convert("RGB")
+            if storage_size:
+                img = img.resize((storage_size, storage_size), Image.BILINEAR)
+            images.append(np.asarray(img, dtype=np.uint8))
+            labels.append(label)
+    if not images:
+        raise FileNotFoundError(f"no images under {split_dir}")
+    return {
+        "images": np.stack(images),
+        "labels": np.asarray(labels, np.int32),
+        "class_names": class_names,
+    }
+
+
+def _load_binary_cifar100(data_root: str, mode: str) -> Dict:
+    path = os.path.join(data_root, "cifar-100-python", mode)
+    with open(path, "rb") as f:
+        raw = pickle.load(f, encoding="latin1")
+    data = np.asarray(raw["data"], np.uint8).reshape(-1, 3, 32, 32)
+    images = data.transpose(0, 2, 3, 1).copy()  # CHW planes -> HWC
+    labels = np.asarray(raw["fine_labels"], np.int32)
+    return {
+        "images": images,
+        "labels": labels,
+        "class_names": [str(i) for i in range(int(labels.max()) + 1)],
+    }
+
+
+def make_synthetic(
+    num_classes: int = 100,
+    per_class: int = 100,
+    image_size: int = 32,
+    seed: int = 0,
+    noise: float = 0.35,
+    sample_seed: Optional[int] = None,
+) -> Dict:
+    """Deterministic learnable synthetic data.
+
+    Each class gets a smooth random pattern; samples are the pattern plus
+    noise and a random shift, so a convnet separates classes quickly but not
+    trivially, and forgetting across tasks is measurable.
+
+    ``seed`` fixes the class prototypes (must be shared between train and
+    test splits); ``sample_seed`` varies the noise/shift draw per split.
+    """
+    proto_rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed if sample_seed is None else sample_seed)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+    protos = []
+    for _ in range(num_classes):
+        freq = proto_rng.uniform(1.0, 4.0, size=(2, 3))
+        phase = proto_rng.uniform(0, 2 * np.pi, size=(2, 3))
+        amp = proto_rng.uniform(0.5, 1.0, size=3)
+        p = 0.5 + 0.25 * (
+            amp * np.sin(2 * np.pi * freq[0] * yy[..., None] + phase[0])
+            + amp * np.sin(2 * np.pi * freq[1] * xx[..., None] + phase[1])
+        )
+        protos.append(p)
+    protos = np.stack(protos)  # (C, H, W, 3)
+
+    n = num_classes * per_class
+    labels = np.repeat(np.arange(num_classes), per_class).astype(np.int32)
+    base = protos[labels]
+    shifts = rng.randint(-3, 4, size=(n, 2))
+    imgs = np.empty_like(base)
+    for i in range(n):  # small; host-side generation only happens once
+        imgs[i] = np.roll(base[i], tuple(shifts[i]), axis=(0, 1))
+    imgs = imgs + rng.randn(n, image_size, image_size, 3).astype(np.float32) * noise
+    images = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
+    order = rng.permutation(n)
+    return {
+        "images": images[order],
+        "labels": labels[order],
+        "class_names": [f"class_{i}" for i in range(num_classes)],
+    }
+
+
+@DATASETS.register("folder")
+def folder_source(config: Dict, mode: str) -> Dict:
+    return _load_folder(config["data_root"], mode, config.get("storage_size"))
+
+
+@DATASETS.register("binary_cifar100")
+def binary_cifar100_source(config: Dict, mode: str) -> Dict:
+    return _load_binary_cifar100(config["data_root"], mode)
+
+
+@DATASETS.register("synthetic")
+def synthetic_source(config: Dict, mode: str) -> Dict:
+    num_classes = config.get("num_classes") or (
+        config["init_cls_num"] + config["inc_cls_num"] * (config["task_num"] - 1)
+    )
+    per_class = config.get(
+        "per_class", 100 if mode == "train" else 20
+    )
+    base = config.get("seed", 0)
+    return make_synthetic(
+        num_classes=num_classes,
+        per_class=per_class,
+        image_size=config.get("image_size", 32),
+        seed=base,
+        sample_seed=base + (0 if mode == "train" else 10_000),
+    )
+
+
+def load_source(config: Dict, mode: str) -> Dict:
+    """Resolve the dataset source for a config.
+
+    ``dataset: synthetic`` or a missing/placeholder ``data_root`` selects the
+    synthetic source; ``binary_cifar100`` selects the pickle reader; anything
+    else is treated as a folder dataset (cifar100, imagenet-r, tiny-imagenet
+    folder layouts all load this way).
+    """
+    name = config.get("dataset", "cifar100")
+    data_root = os.path.expanduser(str(config.get("data_root", "")))
+    config = dict(config, data_root=data_root)
+    if name == "synthetic" or not data_root or not os.path.exists(data_root):
+        return DATASETS.get("synthetic")(config, mode)
+    if name == "binary_cifar100":
+        return DATASETS.get("binary_cifar100")(config, mode)
+    return DATASETS.get("folder")(config, mode)

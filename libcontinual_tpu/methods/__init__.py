@@ -1,0 +1,4 @@
+"""Method registry. Importing this package registers every CL method
+(the explicit equivalent of reference core/model/__init__.py's star-imports)."""
+
+from libcontinual_tpu.methods import finetune  # noqa: F401

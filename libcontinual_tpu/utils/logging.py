@@ -1,0 +1,69 @@
+"""Structured logging: pretty console + JSONL event log.
+
+The reference tees stdout to a file by replacing ``sys.stdout``
+(reference core/utils/logger.py:5-37, installed at trainer.py:95). We keep a
+conventional logger plus a machine-readable JSONL event stream instead.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+class Logger:
+    """Console logger + optional file tee + JSONL event log."""
+
+    def __init__(self, save_dir: Optional[str] = None, name: str = "libcontinual"):
+        self._log = logging.getLogger(name)
+        self._log.setLevel(logging.INFO)
+        self._log.propagate = False
+        if not self._log.handlers:
+            h = logging.StreamHandler(sys.stdout)
+            h.setFormatter(logging.Formatter("[%(asctime)s] %(message)s", "%H:%M:%S"))
+            self._log.addHandler(h)
+        self._jsonl = None
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(save_dir, "train.log"))
+            fh.setFormatter(
+                logging.Formatter("[%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S")
+            )
+            self._log.addHandler(fh)
+            self._jsonl = open(os.path.join(save_dir, "events.jsonl"), "a")
+
+    def info(self, msg: str, *args):
+        self._log.info(msg, *args)
+
+    def event(self, kind: str, **fields: Any):
+        if self._jsonl is not None:
+            rec: Dict[str, Any] = {"ts": time.time(), "kind": kind}
+            rec.update(fields)
+            self._jsonl.write(json.dumps(rec, default=_jsonable) + "\n")
+            self._jsonl.flush()
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+
+
+def _jsonable(x):
+    try:
+        return float(x)
+    except Exception:
+        return str(x)
+
+
+_DEFAULT: Optional[Logger] = None
+
+
+def get_logger(save_dir: Optional[str] = None) -> Logger:
+    global _DEFAULT
+    if _DEFAULT is None or save_dir:
+        _DEFAULT = Logger(save_dir)
+    return _DEFAULT

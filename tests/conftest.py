@@ -1,0 +1,57 @@
+import os
+
+# Virtual 8-device CPU mesh: the standard JAX fake-multi-device harness for
+# testing sharding without real chips (SURVEY.md §4).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax with JAX_PLATFORMS=axon already baked;
+# override through the config API (backend init is lazy, so this still wins).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def tiny_config():
+    """2-task micro-run config on synthetic data."""
+    from libcontinual_tpu.config import Config
+
+    cfg = Config(overrides={
+        "dataset": "synthetic",
+        "data_root": "",
+        "image_size": 32,
+        "task_num": 2,
+        "init_cls_num": 4,
+        "inc_cls_num": 4,
+        "epoch": 6,
+        "batch_size": 16,
+        "per_class": 40,
+        "seed": 7,
+        "val_per_epoch": 0,
+        "testing_times": 1,
+        "dtype": "float32",
+        "mesh": {"data": 1, "model": 1},
+        "backbone": {"name": "tiny_cnn", "kwargs": {}},
+        "classifier": {"name": "Finetune", "kwargs": {"num_class": 8, "feat_dim": 32}},
+        "train_trfms": [
+            {"RandomHorizontalFlip": {}},
+            {"Normalize": {"mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25]}},
+        ],
+        "test_trfms": [
+            {"Normalize": {"mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25]}},
+        ],
+        "buffer": {"name": "LinearBuffer",
+                   "kwargs": {"buffer_size": 0, "batch_size": 16, "strategy": "random"}},
+        "optimizer": {"name": "SGD", "kwargs": {"lr": 0.05, "momentum": 0.9}},
+        "lr_scheduler": {"name": "Constant"},
+        "warmup": 0,
+    }).get_config_dict()
+    return cfg
