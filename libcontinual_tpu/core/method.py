@@ -216,6 +216,12 @@ class Method:
         (reference trainer.py:421-455)."""
         return state
 
+    def override_schedule(self, task_idx: int, steps_per_epoch: int, epochs: int):
+        """Return a ScheduleController to replace the config one, or None —
+        the clean version of the trainer's per-method optimizer overrides
+        (reference trainer.py:297-303, 324-327)."""
+        return None
+
     # ----------------------------------------------------------- pure compute
 
     def apply_backbone(self, params, model_state, x, train: bool):

@@ -318,7 +318,9 @@ class Trainer:
             self.state = method.reset_optimizer(self.state, task_idx)
             steps_per_epoch = _ceil_div(len(train_data), self.batch_size)
             epochs = self.init_epoch if task_idx == 0 else self.inc_epoch
-            sched = make_schedule(cfg, steps_per_epoch, epochs, task_idx)
+            sched = method.override_schedule(task_idx, steps_per_epoch, epochs)
+            if sched is None:
+                sched = make_schedule(cfg, steps_per_epoch, epochs, task_idx)
 
             n_params = count_parameters(self.state.params)
             self.log.info(

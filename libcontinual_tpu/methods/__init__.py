@@ -1,4 +1,13 @@
 """Method registry. Importing this package registers every CL method
 (the explicit equivalent of reference core/model/__init__.py's star-imports)."""
 
-from libcontinual_tpu.methods import finetune  # noqa: F401
+from libcontinual_tpu.methods import (  # noqa: F401
+    bic,
+    der,
+    ewc,
+    finetune,
+    icarl,
+    lucir,
+    lwf,
+    wa,
+)

@@ -1,0 +1,181 @@
+"""BiC — Bias Correction for large-scale incremental learning
+(Wu et al., CVPR 2019).
+
+Parity with reference core/model/bic.py + the trainer's stage-2 loop
+(reference trainer.py:421-455):
+  * stage 1: ``alpha*KD*T^2 + (1-alpha)*CE`` with ``alpha = old/seen``
+    (bic.py:193-217), logits passed through per-task bias layers;
+  * per-task bias layers ``alpha_t * logit + beta_t`` applied to that task's
+    class slice (backbone/resnet.py:579-587, bic.py:125-153); only the
+    current task's (alpha, beta) train in stage 2 on a held-out split of the
+    exemplar buffer (bic.py:219-232);
+  * the trainer's per-task optimizer override
+    ``SGD(lr=0.1, momentum=0.9, wd=2e-4*task_num/(t+1))``
+    (trainer.py:297-300) — realized here as a weight-decay *array* in mvars
+    folded into ``transform_grads`` so no recompilation per task.
+
+TPU re-design: bias layers are two (task_num,) vectors in ``mvars``; stage 2
+is a method-owned extra phase (``extra_phases``) with its own tiny jitted
+Adam step over just those two vectors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from libcontinual_tpu.core.method import Method, masked_cross_entropy
+from libcontinual_tpu.core.optim import ScheduleController
+from libcontinual_tpu.methods.common import batch_iter, copy_tree, kd_loss
+from libcontinual_tpu.registry import METHODS
+
+
+@METHODS.register("bic")
+class BiC(Method):
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.T = float(self.kwargs.get("T", 2.0))
+        self.stage2_epoch = int(config.get("stage2_epoch", self.kwargs.get("stage2_epoch", 50)))
+        self.split_ratio = float(self.kwargs.get("split_ratio", 0.1))
+        # task id of every class column (static)
+        toc = np.zeros((self.num_class,), np.int32)
+        for t in range(self.task_num):
+            lo = 0 if t == 0 else self.init_cls_num + (t - 1) * self.inc_cls_num
+            hi = lo + (self.init_cls_num if t == 0 else self.inc_cls_num)
+            toc[lo:hi] = t
+        self._task_of_class = jnp.asarray(toc)
+        self._bias_tx = optax.adam(1e-3)
+        self._stage2_step = jax.jit(self._stage2_step_impl)
+        # reference trainer.py:297-300 replaces the config optimizer outright
+        self.tx = optax.trace(decay=0.9)
+        self.init_tx = None
+
+    def init_mvars(self, rng, params, model_state):
+        return {
+            "teacher": copy_tree(params),
+            "teacher_state": copy_tree(model_state),
+            "alphas": jnp.ones((self.task_num,), jnp.float32),
+            "betas": jnp.zeros((self.task_num,), jnp.float32),
+            "wd": jnp.asarray(2e-4 * self.task_num, jnp.float32),
+        }
+
+    def before_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["wd"] = jnp.asarray(2e-4 * self.task_num / (task_idx + 1), jnp.float32)
+        # new task's bias layer starts at identity
+        mvars["alphas"] = mvars["alphas"].at[task_idx].set(1.0)
+        mvars["betas"] = mvars["betas"].at[task_idx].set(0.0)
+        return state.replace(mvars=mvars)
+
+    def transform_grads(self, grads, state):
+        # per-task weight decay folded into the gradient (torch-SGD coupled)
+        return jax.tree_util.tree_map(
+            lambda g, p: g + state.mvars["wd"] * p, grads, state.params
+        )
+
+    def _bias_forward(self, logits, alphas, betas):
+        a = alphas[self._task_of_class]
+        b = betas[self._task_of_class]
+        return logits * a + b
+
+    def loss(self, params, state, batch, rng):
+        logits, _, new_model_state = self.forward(
+            params, state.mvars["model_state"], batch["x"], train=True
+        )
+        p = self._bias_forward(logits, state.mvars["alphas"], state.mvars["betas"])
+        w = batch.get("weight")
+        ce = masked_cross_entropy(p, batch["label"], w, state.seen_mask)
+
+        t_logits, _, _ = self.forward(
+            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=False
+        )
+        tp = self._bias_forward(t_logits, state.mvars["alphas"], state.mvars["betas"])
+        safe_prev = jnp.where(
+            state.task > 0, state.prev_mask, jnp.ones_like(state.prev_mask)
+        )
+        kd = kd_loss(p, tp, T=self.T, class_mask=safe_prev, weight=w)
+
+        seen = jnp.maximum(jnp.sum(state.seen_mask), 1.0)
+        old = jnp.sum(state.prev_mask)
+        alpha = old / seen
+        loss = jnp.where(
+            state.task > 0,
+            alpha * kd * self.T**2 + (1.0 - alpha) * ce,
+            ce,
+        )
+        return loss, {"logits": p, "model_state": new_model_state}
+
+    def after_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["teacher"] = copy_tree(state.params)
+        mvars["teacher_state"] = copy_tree(state.mvars["model_state"])
+        return state.replace(mvars=mvars)
+
+    # ----------------------------------------------------------- stage 2
+
+    def _stage2_step_impl(self, state, ab, opt_state, images, labels, weight):
+        def lfn(ab_):
+            x = self.augment(None, images, train=False)
+            logits, _, _ = self.forward(
+                state.params, state.mvars["model_state"], x, train=False
+            )
+            onehot = (
+                jnp.arange(self.task_num) == state.task
+            ).astype(jnp.float32)
+            alphas = state.mvars["alphas"] * (1 - onehot) + ab_[0] * onehot
+            betas = state.mvars["betas"] * (1 - onehot) + ab_[1] * onehot
+            p = self._bias_forward(logits, alphas, betas)
+            return masked_cross_entropy(p, labels, weight, state.seen_mask)
+
+        loss, g = jax.value_and_grad(lfn)(ab)
+        updates, opt_state = self._bias_tx.update(g, opt_state, ab)
+        return optax.apply_updates(ab, updates), opt_state, loss
+
+    def extra_phases(self, trainer, state, task_idx, task_data):
+        """Stage-2 bias training on the exemplar-buffer validation split
+        (reference trainer.py:421-455, bic.py:219-232)."""
+        if task_idx == 0 or trainer.buffer.labels is None:
+            return state
+        rng = np.random.RandomState(int(self.config.get("seed", 0)) + task_idx)
+        images, labels = trainer.buffer.images, trainer.buffer.labels
+        val_idx = []
+        for c in np.unique(labels):
+            idx = np.nonzero(labels == c)[0]
+            rng.shuffle(idx)
+            val_idx.append(idx[: max(1, int(len(idx) * self.split_ratio))])
+        val_idx = np.concatenate(val_idx)
+        vi, vl = images[val_idx], labels[val_idx]
+
+        ab = jnp.asarray(
+            [float(state.mvars["alphas"][task_idx]), float(state.mvars["betas"][task_idx])]
+        )
+        opt_state = self._bias_tx.init(ab)
+        bs = int(self.config["batch_size"])
+        for _ in range(self.stage2_epoch):
+            order = rng.permutation(len(vl))
+            for im, lb, w in batch_iter(vi[order], vl[order], bs):
+                ab, opt_state, _ = self._stage2_step(state, ab, opt_state, im, lb, w)
+        mvars = dict(state.mvars)
+        mvars["alphas"] = mvars["alphas"].at[task_idx].set(ab[0])
+        mvars["betas"] = mvars["betas"].at[task_idx].set(ab[1])
+        return state.replace(mvars=mvars)
+
+    def override_schedule(self, task_idx, steps_per_epoch, epochs):
+        """SGD lr 0.1, MultiStepLR [100,150,200] gamma 0.1
+        (reference trainer.py:297-301)."""
+        cfg = {
+            "lr_scheduler": {
+                "name": "MultiStepLR",
+                "kwargs": {"milestones": [100, 150, 200], "gamma": 0.1},
+            }
+        }
+        return ScheduleController(cfg, 0.1, steps_per_epoch, epochs)
+
+    def eval_logits(self, state, x, task_id):
+        logits, _, _ = self.forward(
+            state.params, state.mvars["model_state"], x, train=False
+        )
+        p = self._bias_forward(logits, state.mvars["alphas"], state.mvars["betas"])
+        return jnp.where(state.seen_mask[None, :] > 0, p, -1e30)

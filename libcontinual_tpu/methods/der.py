@@ -1,0 +1,188 @@
+"""DER — Dynamically Expandable Representation (Yan et al., CVPR 2021).
+
+Parity with reference core/model/der.py:
+  * a new feature extractor per task, old extractors frozen; the classifier
+    sees the concatenation of all extractors' features (der.py:90-134);
+  * auxiliary head on the newest extractor's features with remapped targets
+    ``old -> 0, new -> y - known + 1`` (der.py:119-129);
+  * post-task weight align of the new-class classifier rows (der.py:184-192);
+  * herding exemplar replay (trainer-managed).
+
+TPU re-design (the "per-task parameter growth under jit" hard case,
+SURVEY.md §7): extractors are ONE stacked param pytree with leading dim
+``task_num`` applied via ``jax.vmap`` — all tasks' convnets run as a single
+batched XLA program. An active-task mask zeroes features of not-yet-created
+extractors, and the gradient mask trains only the newest extractor. Shapes
+never change; nothing recompiles across tasks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.method import Method, masked_cross_entropy
+from libcontinual_tpu.models import get_backbone
+from libcontinual_tpu.models.heads import LinearHead
+from libcontinual_tpu.registry import METHODS
+
+
+@METHODS.register("DER")
+class DER(Method):
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.aux_classes = self.inc_cls_num + 1
+
+    def head_module(self):
+        return None  # heads are built in init_state over concat features
+
+    def init_state(self, rng, sample_input_hw):
+        h, w, c = sample_input_hw
+        keys = jax.random.split(rng, self.task_num + 3)
+        dummy = jnp.zeros((2, h, w, c), jnp.float32)
+
+        # stacked extractor params: init each task's net with its own key,
+        # then stack leaves along a leading task axis
+        per_task = [get_backbone(self.config).init(keys[i], dummy, train=False)
+                    for i in range(self.task_num)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_task)
+        bb_params = stacked["params"]
+        bb_state = {k: v for k, v in stacked.items() if k != "params"}
+
+        concat_dim = self.feat_dim * self.task_num
+        self._fc = LinearHead(self.num_class)
+        self._aux = LinearHead(self.aux_classes)
+        fc_params = self._fc.init(keys[-1], jnp.zeros((2, concat_dim)))["params"]
+        aux_params = self._aux.init(keys[-2], jnp.zeros((2, self.feat_dim)))["params"]
+        params = {"backbone": bb_params, "head": fc_params, "aux": aux_params}
+
+        from libcontinual_tpu.core.state import TrainState, make_masks
+
+        seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
+        mvars = {
+            "model_state": bb_state,
+            "active": jnp.zeros((self.task_num,), jnp.float32).at[0].set(1.0),
+        }
+        return TrainState(
+            params=params,
+            opt_state=self._tx_for_task(0).init(params),
+            mvars=mvars,
+            rng=keys[-3],
+            step=jnp.zeros((), jnp.int32),
+            task=jnp.zeros((), jnp.int32),
+            seen_mask=seen,
+            prev_mask=prev,
+        )
+
+    # ------------------------------------------------------------ forward
+
+    def _stack_apply(self, bb_params, bb_state, x, train: bool):
+        """Run all task extractors via vmap; returns (B, T, D) features and
+        the updated stacked batch stats."""
+        backbone = self.backbone
+
+        if train and bb_state:
+            def one(p, s):
+                out, new_s = backbone.apply(
+                    {"params": p, **s}, x, train=True, mutable=list(s.keys())
+                )
+                return out["features"], new_s
+
+            feats, new_state = jax.vmap(one)(bb_params, bb_state)
+        else:
+            def one(p, s):
+                out = backbone.apply({"params": p, **s}, x, train=False)
+                return out["features"]
+
+            feats = jax.vmap(one)(bb_params, bb_state)
+            new_state = bb_state
+        return jnp.transpose(feats, (1, 0, 2)), new_state  # (B, T, D)
+
+    def _concat_features(self, params, mvars, x, train):
+        feats, new_state = self._stack_apply(
+            params["backbone"], mvars["model_state"], x, train
+        )
+        feats = feats * mvars["active"][None, :, None]
+        flat = feats.reshape(feats.shape[0], -1)  # (B, T*D)
+        return feats, flat, new_state
+
+    def loss(self, params, state, batch, rng):
+        feats, flat, new_model_state = self._concat_features(
+            params, state.mvars, batch["x"], train=True
+        )
+        logits = self._fc.apply({"params": params["head"]}, flat)
+        w = batch.get("weight")
+        ce = masked_cross_entropy(logits, batch["label"], w, state.seen_mask)
+
+        # aux loss on the newest extractor's features (der.py:119-129)
+        cur_feats = jnp.take_along_axis(
+            feats, state.task[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        aux_logits = self._aux.apply({"params": params["aux"]}, cur_feats)
+        known = jnp.sum(state.prev_mask).astype(jnp.int32)
+        aux_t = jnp.maximum(batch["label"] - known + 1, 0)
+        aux_ce = masked_cross_entropy(aux_logits, aux_t, w)
+        loss = ce + jnp.where(state.task > 0, aux_ce, 0.0)
+        return loss, {"logits": logits, "model_state": new_model_state}
+
+    def post_update(self, state, batch, aux):
+        if "model_state" in aux:
+            mvars = dict(state.mvars)
+            # only the active extractor's batch stats may advance
+            act = state.mvars["active"]
+            onehot = (jnp.arange(self.task_num) == state.task).astype(jnp.float32)
+
+            def sel(new, old):
+                b = onehot.reshape((-1,) + (1,) * (new.ndim - 1))
+                return new * b + old * (1 - b)
+
+            mvars["model_state"] = jax.tree_util.tree_map(
+                sel, aux["model_state"], state.mvars["model_state"]
+            )
+            del act
+            state = state.replace(mvars=mvars)
+        return state
+
+    def transform_grads(self, grads, state):
+        onehot = (jnp.arange(self.task_num) == state.task).astype(jnp.float32)
+        grads = dict(grads)
+        grads["backbone"] = jax.tree_util.tree_map(
+            lambda g: g * onehot.reshape((-1,) + (1,) * (g.ndim - 1)),
+            grads["backbone"],
+        )
+        return grads
+
+    # ------------------------------------------------------------- hooks
+
+    def before_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["active"] = (
+            jnp.arange(self.task_num) < task_idx + 1
+        ).astype(jnp.float32)
+        return state.replace(mvars=mvars)
+
+    def after_task(self, state, task_idx, task_data):
+        """Weight align of new rows (der.py:184-192, WA-style)."""
+        if task_idx == 0:
+            return state
+        lo = self.init_cls_num + (task_idx - 1) * self.inc_cls_num
+        hi = lo + self.inc_cls_num
+        k = state.params["head"]["Dense_0"]["kernel"]
+        norms = jnp.linalg.norm(k, axis=0)
+        cols = jnp.arange(k.shape[1])
+        new_sel = (cols >= lo) & (cols < hi)
+        old_sel = cols < lo
+        gamma = jnp.mean(norms, where=old_sel) / jnp.maximum(
+            jnp.mean(norms, where=new_sel), 1e-12
+        )
+        k = jnp.where(new_sel[None, :], k * gamma, k)
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        params["head"] = {"Dense_0": dict(params["head"]["Dense_0"])}
+        params["head"]["Dense_0"]["kernel"] = k
+        return state.replace(params=params)
+
+    def eval_logits(self, state, x, task_id):
+        _, flat, _ = self._concat_features(state.params, state.mvars, x, train=False)
+        logits = self._fc.apply({"params": state.params["head"]}, flat)
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
