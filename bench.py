@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark: images/sec/chip for the ViT-B/16 L2P train step
+(CIFAR-100 b10-inc10 geometry: 100-class head, 32x32 uint8 inputs resized
+in-graph to 224, batch 128, bf16).
+
+This is the BASELINE.json north-star metric. The measured program is the real
+training path: in-graph resize+augment of uint8 batches, frozen-ViT query
+pass, prompt-pool selection, prompted forward, CE + pull-constraint loss,
+backward over prompts+head, optimizer update — all inside one lax.scan, as
+the trainer runs it.
+
+``vs_baseline`` compares against 2400 img/s = 3x an A100-class PyTorch L2P
+step (~800 img/s for ViT-B/16 at batch 128 with dual forward passes; the
+reference publishes no throughput numbers — reproduce READMEs are
+accuracy-only — so the A100 figure is the standard public ballpark for
+torch ViT-B/16 prompt-tuning and matches BASELINE.json's ">=3x A100" goal).
+
+Timing note: on the axon TPU tunnel, ``block_until_ready`` does not actually
+synchronize — we force a scalar fetch instead.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build():
+    from libcontinual_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    import libcontinual_tpu.methods  # noqa: F401 — populates the registry
+    from libcontinual_tpu.config import Config
+    from libcontinual_tpu.registry import METHODS
+
+    cfg = Config(overrides={
+        "dataset": "synthetic",
+        "data_root": "",
+        "image_size": 32,
+        "task_num": 10,
+        "init_cls_num": 10,
+        "inc_cls_num": 10,
+        "epoch": 1,
+        "batch_size": 128,
+        "seed": 1993,
+        "dtype": "bfloat16",
+        "mesh": {"data": 1, "model": 1},
+        "backbone": {"name": "ViTZoo", "kwargs": {}},
+        "classifier": {
+            "name": "L2P",
+            "kwargs": {
+                "num_class": 100, "feat_dim": 768,
+                "init_cls_num": 10, "inc_cls_num": 10, "task_num": 10,
+                "prompt_length": 5, "pool_size": 10, "top_k": 5,
+                "pull_constraint_coeff": 0.1,
+            },
+        },
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 0.001875}},
+        "lr_scheduler": {"name": "Constant"},
+    }).get_config_dict()
+    method = METHODS.get("L2P")(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = method.init_state(rng, (32, 32, 3))
+    return method, state, cfg
+
+
+def main():
+    method, state, cfg = build()
+    bs = cfg["batch_size"]
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (bs, 32, 32, 3), np.uint8))
+    labels = jnp.asarray(rng.randint(0, 10, (bs,), np.int32))
+    weight = jnp.ones((bs,), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    n_steps = 20
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            batch = {"image": images, "label": labels, "weight": weight}
+            st, m = method.train_step(st, batch, lr)
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return st, jnp.sum(losses)
+
+    # compile + warm
+    state, s = run(state)
+    float(s)
+    t0 = time.perf_counter()
+    state, s = run(state)
+    float(s)  # forced fetch = real sync on the axon tunnel
+    dt = time.perf_counter() - t0
+
+    ips = n_steps * bs / dt
+    baseline = 2400.0  # 3x A100-class torch L2P step (see module docstring)
+    print(json.dumps({
+        "metric": "images/sec/chip (ViT-B/16 L2P train step, CIFAR-100 b10-inc10 geometry)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,10 +149,15 @@ class Method:
 
         return LinearHead(self.num_class)
 
-    def init_state(self, rng: jax.Array, sample_input_hw: Tuple[int, int, int]) -> TrainState:
+    def model_input(self, sample_input_hw: Tuple[int, int, int]) -> jax.Array:
+        """Dummy model input AFTER the eval transform pipeline (which may
+        resize, e.g. 32x32 storage -> 224x224 ViT input)."""
         h, w, c = sample_input_hw
+        return self.test_pipeline(None, jnp.zeros((2, h, w, c), jnp.uint8))
+
+    def init_state(self, rng: jax.Array, sample_input_hw: Tuple[int, int, int]) -> TrainState:
         k1, k2, k3 = jax.random.split(rng, 3)
-        dummy = jnp.zeros((2, h, w, c), jnp.float32)
+        dummy = self.model_input(sample_input_hw)
         variables = self.backbone.init(k1, dummy, train=False)
         params = {"backbone": variables["params"]}
         model_state = {
@@ -307,6 +312,19 @@ class Method:
             ),
         }
         return state, metrics
+
+    def task_range_mask(self, task_id) -> jax.Array:
+        """(num_class,) mask of the classes belonging to traced ``task_id``
+        (-1 -> all classes)."""
+        idx = jnp.arange(self.num_class)
+        lo = jnp.where(
+            task_id <= 0,
+            0,
+            self.init_cls_num + (task_id - 1) * self.inc_cls_num,
+        )
+        size = jnp.where(task_id == 0, self.init_cls_num, self.inc_cls_num)
+        in_task = (idx >= lo) & (idx < lo + size)
+        return jnp.where(task_id < 0, jnp.ones_like(idx, jnp.float32), in_task.astype(jnp.float32))
 
     # -------------------------------------------------------------- inference
 

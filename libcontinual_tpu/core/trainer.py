@@ -47,6 +47,9 @@ def _ceil_div(a: int, b: int) -> int:
 
 class Trainer:
     def __init__(self, config: Dict[str, Any], workdir: Optional[str] = None):
+        from libcontinual_tpu.utils import jaxcache
+
+        jaxcache.enable()
         self.config = config
         self.log = get_logger(workdir or config.get("save_path") or None)
         init_seed(int(config.get("seed", 0)), bool(config.get("deterministic", True)))

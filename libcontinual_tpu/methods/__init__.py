@@ -6,8 +6,10 @@ from libcontinual_tpu.methods import (  # noqa: F401
     der,
     ewc,
     finetune,
+    gpm,
     icarl,
     lucir,
     lwf,
+    prompt_methods,
     wa,
 )

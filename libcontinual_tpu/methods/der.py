@@ -38,9 +38,8 @@ class DER(Method):
         return None  # heads are built in init_state over concat features
 
     def init_state(self, rng, sample_input_hw):
-        h, w, c = sample_input_hw
         keys = jax.random.split(rng, self.task_num + 3)
-        dummy = jnp.zeros((2, h, w, c), jnp.float32)
+        dummy = self.model_input(sample_input_hw)
 
         # stacked extractor params: init each task's net with its own key,
         # then stack leaves along a leading task axis

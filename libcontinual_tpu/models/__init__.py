@@ -11,6 +11,8 @@ from libcontinual_tpu.registry import BACKBONES
 
 # importing modules populates the registry
 from libcontinual_tpu.models import resnet as _resnet  # noqa: F401
+from libcontinual_tpu.models import vit as _vit  # noqa: F401
+from libcontinual_tpu.models import alexnet as _alexnet  # noqa: F401
 
 
 def get_backbone(config: Dict[str, Any]):

@@ -276,6 +276,11 @@ def tiny_cnn(**kwargs):
 
 FEATURE_DIMS = {
     "tiny_cnn": 32,
+    "AlexNet_TRGP": 2048,
+    "alexnet_trgp": 2048,
+    "ViTZoo": 768,
+    "ViT_in21k_adapter": 768,
+    "vit_tiny_test": 64,
     "resnet18": 512,
     "resnet34": 512,
     "resnet50": 2048,

@@ -1,0 +1,297 @@
+"""Flax Vision Transformer — the engine behind the prompt/LoRA/adapter method
+families (re-design of reference core/model/backbone/transformer.py:1276-2300
+and vit.py:47-127).
+
+One parameterized module covers the reference's zoo of transformer variants:
+
+  * ``prepend_tokens``: L2P-style prompt tokens concatenated in front of
+    [cls; patches] at layer 0 (reference transformer.py:2006-2018, 2238-2259);
+  * ``prefix_kv``: per-layer prefix-tuning K/V prompts concatenated onto the
+    attention keys/values after the qkv projection
+    (reference transformer.py:175-180) — the concat is fused by XLA into the
+    Pallas attention kernel's inputs;
+  * ``qkv_delta``: per-layer additive deltas on the q/k/v projection weights
+    — the single injection point through which every LoRA variant
+    (InfLoRA/SD-LoRA/LoRA-Sub/CL-LoRA, reference transformer.py:199-530)
+    expresses itself: the method computes the merged low-rank delta
+    ``sum_t B_t A_t`` (a dim x dim matrix per projection) and the backbone
+    applies it, keeping the MXU matmuls large and static;
+  * ``adapter_dim``: parallel bottleneck adapters on the MLP ("adaptmlp",
+    reference transformer.py:1372-1395) used by DMNSP/RanPAC/MoE methods;
+  * ``feature_mode``: 'cls' (token 0) or 'prompt_mean' (mean over the
+    prepended prompt positions, L2P's readout, transformer.py:2253-2256).
+
+TPU notes: bf16 activations, f32 LayerNorm/params, fused Pallas attention,
+static shapes per prompt configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from libcontinual_tpu.ops.attention import fused_attention
+from libcontinual_tpu.registry import BACKBONES
+
+
+class MLP(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Adapter(nn.Module):
+    """Parallel bottleneck adapter (reference petl/adapter.py:14-73):
+    ``scale * up(relu(down(ln_in)))`` added to the MLP output."""
+
+    dim: int
+    bottleneck: int
+    scale: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(
+            self.bottleneck, dtype=self.dtype, name="down",
+            kernel_init=nn.initializers.kaiming_uniform(),
+        )(x)
+        h = nn.relu(h)
+        h = nn.Dense(
+            self.dim, dtype=self.dtype, name="up",
+            kernel_init=nn.initializers.zeros_init(),
+        )(h)
+        return h * self.scale
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, prefix_kv=None, qkv_delta=None):
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        if qkv_delta is not None:
+            # qkv_delta: (d, 3d) additive weight delta (merged LoRA)
+            qkv = qkv + jnp.einsum(
+                "bsd,de->bse", x, qkv_delta.astype(self.dtype)
+            )
+        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, S, hd)
+        if prefix_kv is not None:
+            pk, pv = prefix_kv  # (B, P, D) token-space prompts
+            pk = pk.astype(self.dtype).reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
+            pv = pv.astype(self.dtype).reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
+            k = jnp.concatenate([pk, k], axis=2)
+            v = jnp.concatenate([pv, v], axis=2)
+        o = fused_attention(q, k, v, 1.0 / np.sqrt(hd))
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(o)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    adapter_dim: int = 0
+    adapter_scale: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, prefix_kv=None, qkv_delta=None):
+        # bf16 residual stream; LayerNorm statistics still accumulate in f32
+        # internally (flax upcasts), halving HBM traffic vs an f32 stream
+        ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        x = x + ViTAttention(self.dim, self.num_heads, self.dtype, name="attn")(
+            ln1, prefix_kv=prefix_kv, qkv_delta=qkv_delta
+        )
+        ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(ln2)
+        if self.adapter_dim > 0:
+            y = y + Adapter(
+                self.dim, self.adapter_dim, self.adapter_scale, self.dtype,
+                name="adaptmlp",
+            )(ln2)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """ViT-B/16 by default; returns ``{"features", "tokens"}``."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    adapter_dim: int = 0
+    adapter_scale: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        train: bool = True,
+        prepend_tokens: Optional[jax.Array] = None,
+        prefix_kv: Optional[Dict[int, Any]] = None,
+        qkv_deltas: Optional[Dict[int, jax.Array]] = None,
+        feature_mode: str = "cls",
+    ):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, -1, self.embed_dim)
+        n_patches = x.shape[1]
+
+        cls = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, self.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_patches + 1, self.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(self.dtype), x], axis=1)
+        x = x + pos.astype(self.dtype)
+
+        n_prompt = 0
+        if prepend_tokens is not None:
+            n_prompt = prepend_tokens.shape[1]
+            x = jnp.concatenate([prepend_tokens.astype(self.dtype), x], axis=1)
+
+        for i in range(self.depth):
+            pkv = prefix_kv.get(i) if prefix_kv else None
+            delta = qkv_deltas.get(i) if qkv_deltas else None
+            x = ViTBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.adapter_dim,
+                self.adapter_scale,
+                self.dtype,
+                name=f"block_{i}",
+            )(x, prefix_kv=pkv, qkv_delta=delta)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        if feature_mode == "prompt_mean" and n_prompt > 0:
+            feats = jnp.mean(x[:, :n_prompt], axis=1)
+        else:
+            feats = x[:, n_prompt, :]  # cls token position
+        return {"features": feats.astype(jnp.float32), "tokens": x}
+
+
+# --------------------------------------------------------------- timm import
+
+
+def load_timm_weights(params: Dict, path: str) -> Dict:
+    """Load a timm ViT-B/16 checkpoint (.npz of jax-format weights, or a
+    torch state-dict via numpy) into our param tree, gated on file existence
+    (capability parity with reference vit.py:63-84's key remap; no network
+    access assumed)."""
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if path.endswith(".npz"):
+        raw = dict(np.load(path, allow_pickle=False))
+        _load_npz_into(params, raw)
+        return jax.tree_util.tree_map(jnp.asarray, params)
+    raise ValueError(f"unsupported checkpoint format: {path}")
+
+
+def _load_npz_into(params: Dict, raw: Dict):
+    """Map timm/augreg npz names (Transformer/encoderblock_i/...) into ours."""
+    def get(name):
+        return raw[name] if name in raw else None
+
+    if (v := get("embedding/kernel")) is not None:
+        params["patch_embed"]["kernel"] = v
+        params["patch_embed"]["bias"] = raw["embedding/bias"]
+    if (v := get("cls")) is not None:
+        params["cls_token"] = v
+    if (v := get("Transformer/posembed_input/pos_embedding")) is not None:
+        params["pos_embed"] = v
+    if (v := get("Transformer/encoder_norm/scale")) is not None:
+        params["norm"]["scale"] = v
+        params["norm"]["bias"] = raw["Transformer/encoder_norm/bias"]
+    depth = len([k for k in params if k.startswith("block_")])
+    for i in range(depth):
+        p = params[f"block_{i}"]
+        b = f"Transformer/encoderblock_{i}"
+        if f"{b}/LayerNorm_0/scale" not in raw:
+            continue
+        p["ln_1"]["scale"] = raw[f"{b}/LayerNorm_0/scale"]
+        p["ln_1"]["bias"] = raw[f"{b}/LayerNorm_0/bias"]
+        p["ln_2"]["scale"] = raw[f"{b}/LayerNorm_2/scale"]
+        p["ln_2"]["bias"] = raw[f"{b}/LayerNorm_2/bias"]
+        att = f"{b}/MultiHeadDotProductAttention_1"
+        d = p["ln_1"]["scale"].shape[0]
+        qkv_k = np.concatenate(
+            [raw[f"{att}/{n}/kernel"].reshape(d, d) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [raw[f"{att}/{n}/bias"].reshape(d) for n in ("query", "key", "value")]
+        )
+        p["attn"]["qkv"]["kernel"] = qkv_k
+        p["attn"]["qkv"]["bias"] = qkv_b
+        p["attn"]["proj"]["kernel"] = raw[f"{att}/out/kernel"].reshape(d, d)
+        p["attn"]["proj"]["bias"] = raw[f"{att}/out/bias"]
+        mlp = f"{b}/MlpBlock_3"
+        p["mlp"]["fc1"]["kernel"] = raw[f"{mlp}/Dense_0/kernel"]
+        p["mlp"]["fc1"]["bias"] = raw[f"{mlp}/Dense_0/bias"]
+        p["mlp"]["fc2"]["kernel"] = raw[f"{mlp}/Dense_1/kernel"]
+        p["mlp"]["fc2"]["bias"] = raw[f"{mlp}/Dense_1/bias"]
+
+
+@BACKBONES.register("ViTZoo", aliases=("vit_base_patch16_224", "vit-b-16"))
+def vitzoo(**kwargs):
+    return VisionTransformer(
+        img_size=int(kwargs.get("img_size", 224)),
+        adapter_dim=int(kwargs.get("adapter_dim", 0)),
+        dtype=kwargs.get("dtype", jnp.bfloat16),
+    )
+
+
+@BACKBONES.register("ViT_in21k_adapter")
+def vit_in21k_adapter(**kwargs):
+    """RanPAC's adapter ViT (reference vit.py:140-205): frozen ViT with
+    parallel MLP adapters."""
+    return VisionTransformer(
+        img_size=int(kwargs.get("img_size", 224)),
+        adapter_dim=int(kwargs.get("ffn_num", kwargs.get("adapter_dim", 64))),
+        dtype=kwargs.get("dtype", jnp.bfloat16),
+    )
+
+
+@BACKBONES.register("vit_tiny_test")
+def vit_tiny_test(**kwargs):
+    """Small ViT for unit tests (32x32/patch 8, 4 blocks)."""
+    return VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=4,
+        adapter_dim=int(kwargs.get("adapter_dim", 0)),
+        dtype=kwargs.get("dtype", jnp.float32),
+    )

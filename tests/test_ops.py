@@ -1,0 +1,30 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.ops.attention import _xla_attention, fused_attention
+
+
+def test_fused_attention_matches_reference_math():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 3, 9, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 3, 13, 8), jnp.float32)  # prefix-extended kv
+    v = jnp.asarray(rng.randn(2, 3, 13, 8), jnp.float32)
+    out = fused_attention(q, k, v, None)
+    ref = _xla_attention(q, k, v, 1.0 / np.sqrt(8))
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_attention_grad_matches_autodiff():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 5, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 7, 4), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 7, 4), jnp.float32)
+    s = 0.5
+
+    f_custom = lambda q, k, v: jnp.sum(fused_attention(q, k, v, s) ** 2)
+    f_ref = lambda q, k, v: jnp.sum(_xla_attention(q, k, v, s) ** 2)
+    g_c = jax.grad(f_custom, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_c, g_r):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
