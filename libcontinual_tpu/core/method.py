@@ -221,6 +221,11 @@ class Method:
         (reference trainer.py:421-455)."""
         return state
 
+    def epochs_for_task(self, task_idx: int, default: int) -> int:
+        """Per-task epoch override (RanPAC trains only the first session,
+        reference ranpac.py:176-180)."""
+        return default
+
     def override_schedule(self, task_idx: int, steps_per_epoch: int, epochs: int):
         """Return a ScheduleController to replace the config one, or None —
         the clean version of the trainer's per-method optimizer overrides
@@ -267,6 +272,12 @@ class Method:
     def transform_grads(self, grads, state: TrainState):
         return grads
 
+    def transform_updates(self, updates, state: TrainState):
+        """Hook on the *optimizer output* (post-Adam), for methods that
+        project updates rather than gradients (LoRAsub's DRS-Adam,
+        reference lora_sub.py:70-233)."""
+        return updates
+
     def trainable_mask(self, state: TrainState):
         """0/1 pytree matching params, or None for all-trainable."""
         return state.mvars.get("trainable_mask")
@@ -297,6 +308,7 @@ class Method:
         if mask is not None:
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = self.transform_updates(updates, state)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         if mask is not None:
             updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)

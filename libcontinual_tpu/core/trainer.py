@@ -78,6 +78,7 @@ class Trainer:
 
         method_name = config["classifier"]["name"]
         self.method = METHODS.get(method_name)(config, self.mesh)
+        self.method.class_names = getattr(self.train_stream, "class_names", [])
         self.buffer: LinearBuffer = build_buffer(config)
 
         h, w, c = self.train_stream.task(0).images.shape[1:]
@@ -90,6 +91,20 @@ class Trainer:
 
         self.acc_table = np.zeros((self.task_num, self.task_num))
         self.epoch_scan = bool(config.get("epoch_scan", True)) and self.method.scan_safe
+
+        ck = config.get("checkpoint") or {}
+        self.ckpt_dir = ck.get("dir") or "" if ck.get("enable") else ""
+        self._resume_from = -1
+        if self.ckpt_dir:
+            from libcontinual_tpu.core import ckpt
+
+            last = ckpt.latest_task(self.ckpt_dir)
+            if last is not None:
+                self.state, self.acc_table = ckpt.restore(
+                    self.ckpt_dir, last, self.state, self.buffer, self.method
+                )
+                self._resume_from = last
+                self.log.info("resumed from checkpoint after task %d", last)
 
     # ------------------------------------------------------------- jitted fns
 
@@ -164,12 +179,13 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
 
-    def _train_task(self, task_idx: int, task_data: TaskData, sched) -> None:
+    def _train_task(self, task_idx: int, task_data: TaskData, sched, epochs: int) -> None:
         method = self.method
         tx = method._tx_for_task(task_idx)
         n = len(task_data)
+        if epochs <= 0:
+            return
         images, labels = self._device_task_data(task_data)
-        epochs = self.init_epoch if task_idx == 0 else self.inc_epoch
         seed = int(self.config.get("seed", 0))
         profile = bool(self.config.get("profile")) and task_idx == 0
 
@@ -296,8 +312,14 @@ class Trainer:
         batch_last_acc_list = np.zeros(self.task_num)
         task_last_acc_list = np.zeros(self.task_num)
         frgt_list, bwt_list = [], []
+        for t in range(self._resume_from + 1):  # restored-task stats
+            row = self.acc_table[t, : t + 1]
+            task_last_acc_list[t] = float(np.mean(row))
+            batch_last_acc_list[t] = float(np.mean(row))
 
         for task_idx in range(self.task_num):
+            if task_idx <= self._resume_from:
+                continue  # completed before resume
             self.log.info("================ Task %d start ================", task_idx)
             lo, hi = self.train_stream.class_range(task_idx)
             task_data = self.train_stream.task(task_idx)
@@ -320,7 +342,9 @@ class Trainer:
 
             self.state = method.reset_optimizer(self.state, task_idx)
             steps_per_epoch = _ceil_div(len(train_data), self.batch_size)
-            epochs = self.init_epoch if task_idx == 0 else self.inc_epoch
+            epochs = method.epochs_for_task(
+                task_idx, self.init_epoch if task_idx == 0 else self.inc_epoch
+            )
             sched = method.override_schedule(task_idx, steps_per_epoch, epochs)
             if sched is None:
                 sched = make_schedule(cfg, steps_per_epoch, epochs, task_idx)
@@ -330,7 +354,7 @@ class Trainer:
                 "training samples: %d | params: %d", len(train_data), n_params
             )
 
-            self._train_task(task_idx, train_data, sched)
+            self._train_task(task_idx, train_data, sched, epochs)
 
             self.state = method.after_task(self.state, task_idx, task_data)
 
@@ -375,6 +399,13 @@ class Trainer:
                 "task_done", task=task_idx, avg_acc=res["avg_acc"],
                 per_task_acc=res["per_task_acc"], frgt=frgt, bwt=bwt,
             )
+            if self.ckpt_dir:
+                from libcontinual_tpu.core import ckpt
+
+                ckpt.save(
+                    self.ckpt_dir, task_idx, self.state, self.acc_table,
+                    self.buffer, self.method,
+                )
 
         t_idx = self.task_num - 1
         overall = {

@@ -33,8 +33,10 @@ class TaskData:
         return len(self.labels)
 
     def concat(self, other: "TaskData") -> "TaskData":
+        from libcontinual_tpu.data import native
+
         return TaskData(
-            images=np.concatenate([self.images, other.images]),
+            images=native.concat_rows(self.images, other.images),
             labels=np.concatenate([self.labels, other.labels]),
             class_lo=min(self.class_lo, other.class_lo),
             class_hi=max(self.class_hi, other.class_hi),
@@ -230,6 +232,13 @@ def build_stream(config: Dict, mode: str, orig_to_new: Optional[np.ndarray] = No
         init_cls_num=config["init_cls_num"],
         inc_cls_num=config["inc_cls_num"],
     )
+    # class names ordered by their post-permutation label (for CLIP text
+    # towers; reference dataloader.py:111-122 keeps the same map)
+    names = src.get("class_names") or []
+    by_new = [""] * num_classes_total
+    for orig, name in enumerate(names):
+        by_new[int(orig_to_new[orig])] = name
+    stream.class_names = by_new
     if mode == "train" and "imb_type" in config:
         stream.apply_imbalance(
             config["imb_type"],

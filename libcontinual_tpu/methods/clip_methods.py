@@ -1,0 +1,293 @@
+"""CLIP-based CL methods: MoE-Adapter4CL and RAPF.
+
+MoE-Adapter4CL (reference core/model/moe_adapter4cl.py + the MoE machinery in
+backbone/transformer.py:27-127, 1461-1658):
+  * frozen CLIP with mixture-of-adapter-experts blocks in both towers
+    (noisy top-k gating, cv^2 load-balancing loss);
+  * per-task image-text contrastive training against the tokenized class
+    names of the current task (moe_adapter4cl.py:61-118);
+  * inference: similarity against all seen class names' text features.
+
+RAPF (reference core/model/rapf.py): frozen CLIP + a linear adapter over
+image features trained contrastively against class-name text features;
+near-class feature interpolation during training; after each task, per-class
+Gaussian statistics (shrunk covariance) are recorded and old-class features
+are replayed from them; SVD-based parameter fusion stabilizes the adapter
+(rapf.py:36-44, 268-...).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.method import Method, masked_cross_entropy
+from libcontinual_tpu.core.state import TrainState, make_masks
+from libcontinual_tpu.methods.common import batch_iter, copy_tree
+from libcontinual_tpu.models.tokenizer import tokenize
+from libcontinual_tpu.registry import METHODS
+
+
+class CLIPMethod(Method):
+    concat_buffer = False
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.prompt_template = self.kwargs.get("prompt_template", "a photo of a {}.")
+        self.class_names: List[str] = []
+
+    def _backbone_kind(self):
+        return "clip"
+
+    def class_tokens(self, lo: int, hi: int) -> jnp.ndarray:
+        names = [
+            self.class_names[c] if c < len(self.class_names) and self.class_names[c]
+            else f"class {c}"
+            for c in range(lo, hi)
+        ]
+        return jnp.asarray(tokenize([self.prompt_template.format(n) for n in names]))
+
+
+@METHODS.register("MOE_ADAPTER4CL", aliases=("MoE_Adapter4CL",))
+class MoEAdapter4CL(CLIPMethod):
+    def __init__(self, config, mesh_ctx=None):
+        bk = config["backbone"].setdefault("kwargs", {})
+        bk.setdefault("moe_experts", bk.get("experts_num", 4))
+        super().__init__(config, mesh_ctx)
+        self.aux_weight = float(self.kwargs.get("load_balance_weight", 1e-2))
+
+    def init_state(self, rng, sample_input_hw):
+        k1, k2 = jax.random.split(rng)
+        dummy = self.model_input(sample_input_hw)
+        toks = jnp.zeros((2, 77), jnp.int32)
+        variables = self.backbone.init(k1, dummy, toks, train=False)
+        # split: MoE/adapter params train, CLIP trunk frozen
+        def split(tree, path=()):
+            train_t, frozen_t = {}, {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    t, f = split(v, path + (k,))
+                    if t:
+                        train_t[k] = t
+                    if f:
+                        frozen_t[k] = f
+                else:
+                    if any("moe" in p or "adaptmlp" in p for p in path) or "logit_scale" in k:
+                        train_t[k] = v
+                    else:
+                        frozen_t[k] = v
+            return train_t, frozen_t
+
+        trainable, frozen = split(variables["params"])
+        seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
+        return TrainState(
+            params={"clip": trainable},
+            opt_state=self._tx_for_task(0).init({"clip": trainable}),
+            mvars={
+                "model_state": {},
+                "frozen": frozen,
+                "task_tokens": self.class_tokens(0, self.num_class),
+            },
+            rng=k2,
+            step=jnp.zeros((), jnp.int32),
+            task=jnp.zeros((), jnp.int32),
+            seen_mask=seen,
+            prev_mask=prev,
+        )
+
+    def before_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["task_tokens"] = self.class_tokens(0, self.num_class)
+        return state.replace(mvars=mvars)
+
+    def _merge(self, trainable, frozen):
+        def merge(a, b):
+            out = dict(b)
+            for k, v in a.items():
+                out[k] = merge(v, b.get(k, {})) if isinstance(v, dict) else v
+            return out
+
+        return merge(trainable, frozen)
+
+    def _apply(self, params, mvars, images, tokens, train, rng=None):
+        full = self._merge(params["clip"], mvars["frozen"])
+        rngs = {"moe": rng} if (train and rng is not None) else None
+        return self.backbone.apply(
+            {"params": full}, images, tokens, train=train, rngs=rngs
+        )
+
+    def loss(self, params, state, batch, rng):
+        out = self._apply(
+            params, state.mvars, batch["x"], state.mvars["task_tokens"], True, rng
+        )
+        logits = out["logits_per_image"]  # (B, num_class) vs all class texts
+        cur_mask = state.seen_mask - state.prev_mask
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        loss = ce + self.aux_weight * out["moe_aux"]
+        masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
+        return loss, {"logits": masked, "model_state": {}}
+
+    def eval_logits(self, state, x, task_id):
+        out = self._apply(state.params, state.mvars, x, state.mvars["task_tokens"], False)
+        logits = out["logits_per_image"]
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+
+
+@METHODS.register("RAPF")
+class RAPF(CLIPMethod):
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.embed_dim = int(self.kwargs.get("embed_dim", 512))
+        self.shrink = float(self.kwargs.get("shrink", 1.0))
+        self.replay_bs = int(self.kwargs.get("replay_batch", 32))
+        self.neighbor_mix = float(self.kwargs.get("neighbor_mix", 0.2))
+
+    def init_state(self, rng, sample_input_hw):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        dummy = self.model_input(sample_input_hw)
+        toks = jnp.zeros((2, 77), jnp.int32)
+        variables = self.backbone.init(k1, dummy, toks, train=False)
+        d = self.backbone.embed_dim
+        self.embed_dim = d
+        adapter = {
+            "kernel": jnp.eye(d, dtype=jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32),
+        }
+        seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
+        return TrainState(
+            params={"adapter": adapter},
+            opt_state=self._tx_for_task(0).init({"adapter": adapter}),
+            mvars={
+                "model_state": {},
+                "frozen": variables["params"],
+                "text_feats": jnp.zeros((self.num_class, d), jnp.float32),
+                "cls_mean": jnp.zeros((self.num_class, d), jnp.float32),
+                "cls_var": jnp.ones((self.num_class, d), jnp.float32),
+                "cls_valid": jnp.zeros((self.num_class,), jnp.float32),
+                "old_adapter": {
+                    "kernel": jnp.eye(d, dtype=jnp.float32),
+                    "bias": jnp.zeros((d,), jnp.float32),
+                },
+            },
+            rng=k3,
+            step=jnp.zeros((), jnp.int32),
+            task=jnp.zeros((), jnp.int32),
+            seen_mask=seen,
+            prev_mask=prev,
+        )
+
+    def before_task(self, state, task_idx, task_data):
+        # (re)compute text features of all classes through the frozen tower
+        toks = self.class_tokens(0, self.num_class)
+
+        @jax.jit
+        def text_feats(frozen, toks):
+            out = self.backbone.apply(
+                {"params": frozen}, method=lambda m, t: m.encode_text(t, train=False),
+                t=toks,
+            )
+            f = out[0]
+            return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+
+        mvars = dict(state.mvars)
+        mvars["text_feats"] = text_feats(state.mvars["frozen"], toks)
+        return state.replace(mvars=mvars)
+
+    def _image_feats(self, mvars, x):
+        out = self.backbone.apply(
+            {"params": mvars["frozen"]},
+            method=lambda m, im: m.encode_image(im, train=False),
+            im=x,
+        )
+        return jax.lax.stop_gradient(out[0])
+
+    def _adapted(self, params, f):
+        g = f @ params["adapter"]["kernel"] + params["adapter"]["bias"]
+        return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-8)
+
+    def loss(self, params, state, batch, rng):
+        f = self._image_feats(state.mvars, batch["x"])
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # neighbor-aware mixing: blend features toward the text feature of
+        # the nearest *other* seen class (rapf.py's feature adjustment)
+        tf = state.mvars["text_feats"]
+        sims = f @ tf.T
+        sims = jnp.where(state.seen_mask[None, :] > 0, sims, -jnp.inf)
+        own = jax.nn.one_hot(batch["label"], self.num_class) * 1e9
+        neighbor = jnp.argmax(sims - own, axis=1)
+        f_mix = (1 - self.neighbor_mix) * f + self.neighbor_mix * tf[neighbor]
+        g = self._adapted(params, f_mix)
+        scale = 100.0
+        logits = scale * g @ tf.T
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), state.seen_mask)
+
+        # Gaussian replay of old classes (rapf.py:36-44)
+        old_valid = state.mvars["cls_valid"] * state.prev_mask
+        gmb = jax.random.gumbel(k1, (self.replay_bs, self.num_class))
+        cls = jnp.argmax(jnp.log(old_valid[None, :] + 1e-30) + gmb, axis=1)
+        noise = jax.random.normal(k2, (self.replay_bs, self.embed_dim))
+        rf = state.mvars["cls_mean"][cls] + noise * jnp.sqrt(
+            state.mvars["cls_var"][cls] * self.shrink
+        )
+        rg = self._adapted(params, rf)
+        r_logits = scale * rg @ tf.T
+        r_ce = masked_cross_entropy(r_logits, cls, None, state.seen_mask)
+        on = jnp.where((state.task > 0) & (jnp.sum(old_valid) > 0), 1.0, 0.0)
+        loss = ce + on * r_ce
+        masked = jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+        return loss, {"logits": masked, "model_state": {}}
+
+    def after_task(self, state, task_idx, task_data):
+        bs = int(self.config["batch_size"])
+        mean = np.array(state.mvars["cls_mean"])
+        var = np.array(state.mvars["cls_var"])
+        valid = np.array(state.mvars["cls_valid"])
+        feats_all, labels_all = [], []
+
+        @jax.jit
+        def feat(state, images):
+            x = self.augment(None, images, train=False)
+            return self._image_feats(state.mvars, x)
+
+        for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
+            fl = np.asarray(feat(state, im))
+            keep = np.asarray(w) > 0
+            feats_all.append(fl[keep])
+            labels_all.append(np.asarray(lb)[keep])
+        feats = np.concatenate(feats_all)
+        labels = np.concatenate(labels_all)
+        for c in np.unique(labels):
+            fc = feats[labels == c]
+            mean[c] = fc.mean(0)
+            var[c] = fc.var(0) + 1e-6
+            valid[c] = 1.0
+
+        # SVD parameter fusion: project the adapter update onto the principal
+        # subspace of the previous adapter (rapf.py:268-...)
+        if task_idx > 0:
+            W_old = np.array(state.mvars["old_adapter"]["kernel"])
+            W_new = np.array(state.params["adapter"]["kernel"])
+            u, s, vt = np.linalg.svd(W_old)
+            k = int(np.sum(np.cumsum(s**2) / np.sum(s**2) < 0.99)) or 1
+            P = u[:, :k] @ u[:, :k].T
+            fused = W_old + P @ (W_new - W_old) * 0.5 + (W_new - W_old) * 0.5
+            params = jax.tree_util.tree_map(lambda x: x, state.params)
+            params["adapter"] = dict(params["adapter"])
+            params["adapter"]["kernel"] = jnp.asarray(fused.astype(np.float32))
+            state = state.replace(params=params)
+
+        mvars = dict(state.mvars)
+        mvars["cls_mean"] = jnp.asarray(mean)
+        mvars["cls_var"] = jnp.asarray(var)
+        mvars["cls_valid"] = jnp.asarray(valid)
+        mvars["old_adapter"] = copy_tree(state.params["adapter"])
+        return state.replace(mvars=mvars)
+
+    def eval_logits(self, state, x, task_id):
+        f = self._image_feats(state.mvars, x)
+        g = self._adapted(state.params, f)
+        logits = 100.0 * g @ state.mvars["text_feats"].T
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)

@@ -1,0 +1,216 @@
+"""InfLoRA — Interference-Free Low-Rank Adaptation (Liang & Li, CVPR 2024),
+plus the optimized InfLoRA_OPT variant.
+
+Parity with reference core/model/InfLoRA.py / InfLoRA_opt.py:
+  * per-task LoRA branches on the k/v projections of every ViT block; only
+    the current task's B factor (and the classifier) trains — A is *set*, not
+    learned: before each task the attention-input covariance is accumulated
+    and A becomes the top-r left singular vectors of the (DualGPM-projected)
+    covariance, scaled 1/sqrt(3) (reference InfLoRA.py:148-183);
+  * after each task, DualGPM grows/shrinks per-layer subspaces with
+    remove/retain types and threshold ``(lame-lamb)*t/total + lamb``
+    (InfLoRA.py:213-308);
+  * CE over the current task's classes only (InfLoRA.py:75-83);
+  * InfLoRA_OPT additionally fits per-class Gaussian feature statistics and
+    retrains a compact classifier on features sampled from them after each
+    task (reference InfLoRA_opt.py:291-457).
+
+TPU re-design: covariance accumulation is a jitted capture pass (one einsum
+per layer per batch); SVDs are small (768x768) and run at task boundaries;
+LoRA factors are the stacked arrays of :class:`LoRAViTMethod`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.method import masked_cross_entropy
+from libcontinual_tpu.methods.common import batch_iter
+from libcontinual_tpu.methods.lora_base import LoRAViTMethod
+from libcontinual_tpu.registry import METHODS
+
+
+def dual_gpm_update(
+    feature_list: List[np.ndarray],
+    project_type: List[str],
+    mat_list: List[np.ndarray],
+    threshold: float,
+):
+    """DualGPM subspace bookkeeping (reference InfLoRA.py:213-308)."""
+    if not feature_list:
+        for act in mat_list:
+            u, s, _ = np.linalg.svd(act, full_matrices=False)
+            ratio = np.cumsum(s**2) / np.sum(s**2)
+            r = int(np.sum(ratio < threshold))
+            feature_list.append(u[:, : max(r, 1)])
+            project_type.append(
+                "remove" if r < act.shape[0] / 2 else "retain"
+            )
+    else:
+        for i, act in enumerate(mat_list):
+            _, s1, _ = np.linalg.svd(act, full_matrices=False)
+            sval_total = float(np.sum(s1**2))
+            U = feature_list[i]
+            if project_type[i] == "remove":
+                act_hat = act - U @ (U.T @ act)
+                u, s, _ = np.linalg.svd(act_hat, full_matrices=False)
+                sval_hat = float(np.sum(s**2))
+                ratio = (s**2) / sval_total
+                accumulated = (sval_total - sval_hat) / sval_total
+                r = 0
+                for rr in range(len(ratio)):
+                    if accumulated < threshold:
+                        accumulated += ratio[rr]
+                        r += 1
+                    else:
+                        break
+                if r == 0:
+                    continue
+                ui = np.hstack([U, u[:, :r]])
+                feature_list[i] = ui[:, : min(ui.shape)]
+            else:
+                act_hat = U @ (U.T @ act)
+                u, s, _ = np.linalg.svd(act_hat, full_matrices=False)
+                sval_hat = float(np.sum(s**2))
+                ratio = (s**2) / sval_total
+                accumulated = sval_hat / sval_total
+                r = 0
+                for rr in range(len(ratio)):
+                    if accumulated >= (1 - threshold):
+                        accumulated -= ratio[rr]
+                        r += 1
+                    else:
+                        break
+                if r == 0:
+                    continue
+                act_feature = U - u[:, :r] @ (u[:, :r].T @ U)
+                ui, _, _ = np.linalg.svd(act_feature)
+                feature_list[i] = ui[:, : U.shape[1] - r]
+    # normalize representation (InfLoRA.py:296-305)
+    for i in range(len(feature_list)):
+        f = feature_list[i]
+        if project_type[i] == "remove" and f.shape[1] > f.shape[0] / 2:
+            u, _, _ = np.linalg.svd(f)
+            feature_list[i] = u[:, f.shape[1]:]
+            project_type[i] = "retain"
+
+
+@METHODS.register("InfLoRA")
+class InfLoRA(LoRAViTMethod):
+    lora_slots = ("k", "v")
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.lame = float(self.kwargs.get("lame", 1.0))
+        self.lamb = float(self.kwargs.get("lamb", 0.95))
+        self.total_sessions = int(self.kwargs.get("total_sessions", self.task_num))
+        self._feature_list: List[np.ndarray] = []
+        self._project_type: List[str] = []
+
+    def trainable_lora(self):
+        return ("B",)  # A is set by SVD, never trained (InfLoRA.py:163-183)
+
+    def before_task(self, state, task_idx, task_data):
+        state = super().before_task(state, task_idx, task_data)
+        covs = self.input_covariances(state, task_data)
+        lora = {k: np.array(v) for k, v in state.params["lora"].items()}
+        for layer in range(self.depth):
+            cur = covs[layer]
+            if task_idx > 0 and layer < len(self._feature_list):
+                U = self._feature_list[layer]
+                M = U @ U.T
+                cur = cur - M @ cur if self._project_type[layer] == "remove" else M @ cur
+            u, _, _ = np.linalg.svd(cur, full_matrices=False)
+            a = (u[:, : self.rank].T / math.sqrt(3)).astype(np.float32)  # (r, d)
+            for slot in self.lora_slots:
+                lora[f"A_{slot}"][layer, task_idx] = a
+                lora[f"B_{slot}"][layer, task_idx] = 0.0
+        params = dict(state.params)
+        params["lora"] = {k: jnp.asarray(v) for k, v in lora.items()}
+        return state.replace(params=params)
+
+    def after_task(self, state, task_idx, task_data):
+        covs = self.input_covariances(state, task_data)
+        threshold = (self.lame - self.lamb) * task_idx / self.total_sessions + self.lamb
+        dual_gpm_update(self._feature_list, self._project_type, covs, threshold)
+        return state
+
+
+@METHODS.register("InfLoRA_OPT", aliases=("InfLoRAb5", "InfLoRA_opt"))
+class InfLoRAOPT(InfLoRA):
+    """InfLoRA + Gaussian feature statistics & compact classifier retraining
+    (reference InfLoRA_opt.py:291-457)."""
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.ca_epochs = int(self.kwargs.get("ca_epochs", 5))
+        self.n_sample_per_class = int(self.kwargs.get("num_sampled_pcls", 256))
+        self._class_means = np.zeros((self.num_class, self.embed_dim), np.float32)
+        self._class_covs = np.zeros((self.num_class, self.embed_dim), np.float32)
+        self._seen = np.zeros((self.num_class,), bool)
+
+    def after_task(self, state, task_idx, task_data):
+        state = super().after_task(state, task_idx, task_data)
+        # per-class feature Gaussians (diagonal) over the current task's data
+        bs = int(self.config["batch_size"])
+        feats_all, labels_all = [], []
+
+        @jax.jit
+        def feat_step(state, images):
+            x = self.augment(None, images, train=False)
+            return self.vit_features(state.params, state.mvars, x, train=False)["features"]
+
+        for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
+            f = np.asarray(feat_step(state, im))
+            keep = np.asarray(w) > 0
+            feats_all.append(f[keep])
+            labels_all.append(np.asarray(lb)[keep])
+        feats = np.concatenate(feats_all)
+        labels = np.concatenate(labels_all)
+        for c in np.unique(labels):
+            fc = feats[labels == c]
+            self._class_means[c] = fc.mean(0)
+            self._class_covs[c] = fc.var(0) + 1e-4
+            self._seen[c] = True
+        if task_idx > 0:
+            state = self._compact_classifier(state, task_idx)
+        return state
+
+    def _compact_classifier(self, state, task_idx):
+        """Retrain the head on features sampled from the class Gaussians."""
+        import optax
+
+        rng = np.random.RandomState(task_idx)
+        seen = np.nonzero(self._seen)[0]
+        head = {k: jnp.asarray(np.array(v)) for k, v in state.params["head"]["Dense_0"].items()}
+        tx = optax.sgd(0.01, momentum=0.9)
+        opt = tx.init(head)
+
+        @jax.jit
+        def step(head, opt, x, y):
+            def lfn(h):
+                logits = x @ h["kernel"] + h["bias"]
+                mask = jnp.asarray(self._seen, jnp.float32)
+                return masked_cross_entropy(logits, y, None, mask)
+
+            loss, g = jax.value_and_grad(lfn)(head)
+            up, opt = tx.update(g, opt, head)
+            return optax.apply_updates(head, up), opt, loss
+
+        n = min(self.n_sample_per_class, 64)
+        for _ in range(self.ca_epochs):
+            order = rng.permutation(seen)
+            for c in order:
+                x = rng.randn(n, self.embed_dim).astype(np.float32) * np.sqrt(
+                    self._class_covs[c]
+                ) + self._class_means[c]
+                y = np.full((n,), c, np.int32)
+                head, opt, _ = step(head, opt, jnp.asarray(x), jnp.asarray(y))
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        params["head"] = {"Dense_0": dict(head)}
+        return state.replace(params=params)

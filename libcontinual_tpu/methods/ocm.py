@@ -1,0 +1,255 @@
+"""OCM — Online Continual learning through Mutual Information maximization
+(Guo et al., ICML 2022).
+
+Parity with reference core/model/ocm.py (1018 LoC):
+  * 16x rotation-family expansion: 4 inner half-image rotations x 4 global
+    rot90s, with label offsets ``+1000*i`` building rotation-aware classes
+    for the contrastive loss (ocm.py:685-715);
+  * SimCLR-style in-graph augmentation of the expanded batch (the reference
+    implements rotation/flip/jitter/crop as nn.Modules, ocm.py:105-531 — here
+    they are the framework's native jax batch transforms);
+  * supervised NT-Xent over [views; augmented views] with a random
+    feature-map slice added into the similarity matrix (ocm.py:738-816);
+  * incremental tasks: replay from a reservoir buffer + NT-Xent on replay +
+    distillation against the frozen previous model (cosine contrast with the
+    previous model's projections + MSE on old-class logits,
+    ocm.py:939-986);
+  * reservoir ``OnlineBuffer`` (reference buffer/onlinebuffer.py) as
+    device-resident slabs in ``mvars``.
+
+TPU notes: the 16x expansion is pure reshapes/rot90s (layout ops, VPU-cheap);
+everything stays in one jitted step, scan-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.method import Method, masked_cross_entropy
+from libcontinual_tpu.data import transforms as T
+from libcontinual_tpu.methods.common import copy_tree
+from libcontinual_tpu.methods.er import reservoir_add, sample_random
+from libcontinual_tpu.registry import METHODS
+
+
+def rot_inner_all(x):
+    """4 half-image inner rotations (reference ocm.py:685-701). x: NHWC."""
+    n, h, w, c = x.shape
+    a = jnp.transpose(x, (0, 2, 1, 3))  # swap H/W like reference permute
+    a = a.reshape(n, 2, h // 2, w, c)
+    s1, s2 = a[:, 0], a[:, 1]  # halves
+    rot2 = lambda z: jnp.rot90(z, 2, axes=(1, 2))
+    variants = [
+        (s1, s2),
+        (rot2(s1), s2),
+        (rot2(s1), rot2(s2)),
+        (s1, rot2(s2)),
+    ]
+    outs = []
+    for top, bot in variants:
+        v = jnp.stack([top, bot], axis=1).reshape(n, h, w, c)
+        outs.append(jnp.transpose(v, (0, 2, 1, 3)))
+    # ordering mirrors reference: original, s1-rot, both-rot, s2-rot
+    return jnp.concatenate([outs[0], outs[1], outs[2], outs[3]], axis=0)
+
+
+def rotation_expand(x, y):
+    """16x expansion with rotation-distinct labels (ocm.py:704-711)."""
+    n = x.shape[0]
+    X = rot_inner_all(x)  # 4n
+    Xs = [X] + [jnp.rot90(X, k, axes=(1, 2)) for k in (1, 2, 3)]
+    X16 = jnp.concatenate(Xs, axis=0)  # 16n
+    y16 = jnp.tile(y, 16)
+    offsets = jnp.repeat(jnp.arange(16) * 1000, n)
+    return X16, y16 + offsets
+
+
+def nt_xent(sim_matrix, labels, temperature=0.07, mode="n"):
+    """Supervised NT-Xent variants (reference ocm.py:738-816)."""
+    b2 = sim_matrix.shape[0]
+    b = b2 // 2
+    labels1 = jnp.concatenate([labels, labels])
+    sim_matrix = sim_matrix - jax.lax.stop_gradient(
+        jnp.max(sim_matrix, axis=1, keepdims=True)
+    )
+    eye = jnp.eye(b2)
+    e = jnp.exp(sim_matrix / temperature) * (1 - eye)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    logm = -jnp.log(e / (denom + 1e-8) + 1e-8)
+    mask = (labels1[:, None] == labels1[None, :]).astype(jnp.float32)
+    mask = mask / (jnp.sum(mask, axis=1, keepdims=True) + 1e-8)
+    loss1 = 2 * jnp.sum(mask * logm) / (2 * b)
+    if mode == "uni":
+        return loss1
+    pos = jnp.sum(jnp.diag(logm[:b, b:]) + jnp.diag(logm[b:, :b])) / (2 * b)
+    return pos + loss1
+
+
+def nt_xent_pre(sim_matrix, labels, temperature=0.07):
+    """Distillation NT-Xent against the previous model (ocm.py:790-816)."""
+    sim_matrix = sim_matrix - jax.lax.stop_gradient(
+        jnp.max(sim_matrix, axis=1, keepdims=True)
+    )
+    e = jnp.exp(sim_matrix / temperature)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    logm = -jnp.log(e / (denom + 1e-8) + 1e-8)
+    return jnp.mean(jnp.diag(logm))
+
+
+@METHODS.register("OCM")
+class OCM(Method):
+    concat_buffer = False
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        buf_kwargs = (config.get("buffer") or {}).get("kwargs") or {}
+        self.capacity = int(buf_kwargs.get("buffer_size", 1000))
+        self.buffer_batch = int(self.kwargs.get("buffer_batch_size", 64))
+        self.proj_dim = min(128, int(self.kwargs.get("feat_dim", 512)) // 2 or 128)
+        img = int(config.get("image_size", 32))
+        self._simclr_aug = T.Pipeline([
+            ("RandomResizedCrop", {"size": img, "scale": (0.6, 1.0)}),
+            ("RandomHorizontalFlip", {}),
+            ("ColorJitter", {"brightness": 0.4, "contrast": 0.4, "saturation": 0.4}),
+            ("RandomGrayscale", {"p": 0.2}),
+        ])
+
+    def head_module(self):
+        from libcontinual_tpu.models.heads import LinearHead
+
+        return LinearHead(self.num_class)
+
+    def augment(self, rng, images, train=True):
+        # OCM owns its augmentation in-loss (reference feeds near-raw tensors
+        # and augments on device, ocm.py:105-531); both paths use [0,1] images
+        return images.astype(jnp.float32) / 255.0
+
+    def init_state(self, rng, sample_input_hw):
+        state = super().init_state(rng, sample_input_hw)
+        k = jax.random.fold_in(rng, 77)
+        params = dict(state.params)
+        params["proj"] = {
+            "kernel": jax.random.normal(k, (self.feat_dim, self.proj_dim)) * 0.02,
+            "bias": jnp.zeros((self.proj_dim,)),
+        }
+        mvars = dict(state.mvars)
+        mvars["teacher"] = copy_tree(params)  # teacher mirrors the full params
+        return state.replace(
+            params=params, opt_state=self._tx_for_task(0).init(params),
+            mvars=mvars,
+        )
+
+    def init_mvars(self, rng, params, model_state):
+        h = int(self.config.get("image_size", 32))
+        return {
+            "buffer": {
+                "bx": jnp.zeros((self.capacity, h, h, 3), jnp.uint8),
+                "by": jnp.zeros((self.capacity,), jnp.int32),
+                "bt": jnp.zeros((self.capacity,), jnp.int32),
+                "n_seen": jnp.zeros((), jnp.int32),
+            },
+            "teacher": copy_tree(params),
+            "teacher_state": copy_tree(model_state),
+        }
+
+    # ----------------------------------------------------------------- hooks
+
+    def after_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["teacher"] = copy_tree(state.params)
+        mvars["teacher_state"] = copy_tree(state.mvars["model_state"])
+        return state.replace(mvars=mvars)
+
+    def post_update(self, state, batch, aux):
+        state = super().post_update(state, batch, aux)
+        rng, sub = jax.random.split(state.rng)
+        mvars = dict(state.mvars)
+        mvars["buffer"] = reservoir_add(
+            mvars["buffer"], batch["image"], batch["label"],
+            jnp.full_like(batch["label"], state.task),
+            batch.get("weight", jnp.ones_like(batch["label"], jnp.float32)),
+            sub,
+        )
+        return state.replace(mvars=mvars, rng=rng)
+
+    # ------------------------------------------------------------------ loss
+
+    def _embed(self, params, model_state, x_float):
+        out, new_ms = self.apply_backbone(params, model_state, x_float, train=True)
+        f = out["features"]
+        proj = f @ params["proj"]["kernel"] + params["proj"]["bias"]
+        return f, proj, new_ms
+
+    def _norm(self, z):
+        return z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
+
+    def _contrast_loss(self, params, state, x_u8, y, rng, teacher=None):
+        """NT-Xent over [rotations; simclr(rotations)] (ocm.py:915-935)."""
+        k1, k2 = jax.random.split(rng)
+        xr, yr = rotation_expand(x_u8.astype(jnp.float32) / 255.0, y)
+        xr_aug = self._simclr_aug(k1, xr)
+        pair = jnp.concatenate([xr, xr_aug], axis=0)  # raw [0,1] inputs
+        f, proj, new_ms = self._embed(params, state.mvars["model_state"], pair)
+        simclr = self._norm(proj)
+        fmap = self._norm(f[: pair.shape[0]])
+        id1 = jax.random.randint(k2, (), 0, max(self.feat_dim - self.proj_dim, 1))
+        slice_f = jax.lax.dynamic_slice_in_dim(fmap, id1, self.proj_dim, axis=1)
+        sim = simclr @ slice_f.T + simclr @ simclr.T
+        loss = nt_xent(sim, yr, temperature=0.07)
+        extra = None
+        if teacher is not None:
+            t_f, t_proj, _ = self._embed(
+                teacher, state.mvars["teacher_state"], xr
+            )
+            pre = self._norm(jax.lax.stop_gradient(t_proj))
+            sim_pre = simclr[: xr.shape[0]] @ pre.T
+            extra = nt_xent_pre(sim_pre, yr, temperature=0.07)
+        return loss, extra, new_ms
+
+    def loss(self, params, state, batch, rng):
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        x_u8, y, w = batch["image"], batch["label"], batch.get("weight")
+
+        # classifier CE on simclr-augmented inputs (ocm.py:931-933)
+        x_aug = self._simclr_aug(k1, x_u8.astype(jnp.float32) / 255.0)
+        logits, _, new_ms = self.forward(params, state.mvars["model_state"], x_aug, train=True)
+        ce_inc = masked_cross_entropy(logits, y, w, state.seen_mask)
+
+        c_inc, _, _ = self._contrast_loss(params, state, x_u8, y, k2)
+
+        # replay path (ocm.py:939-986) — weighted off when buffer empty/task 0
+        buf = state.mvars["buffer"]
+        mx, my, mw = sample_random(buf, k3, self.buffer_batch)
+        c_rep, c_pre, _ = self._contrast_loss(
+            params, state, mx, my, k4, teacher=state.mvars["teacher"]
+        )
+        mem_aug = self._simclr_aug(k5, mx.astype(jnp.float32) / 255.0)
+        m_logits, _, _ = self.forward(params, state.mvars["model_state"], mem_aug, train=True)
+        ce_mem = masked_cross_entropy(m_logits, my, mw, state.seen_mask)
+        t_logits, _, _ = self.forward(
+            state.mvars["teacher"], state.mvars["teacher_state"], mem_aug, train=False
+        )
+        mse = jnp.mean(
+            (
+                (m_logits - jax.lax.stop_gradient(t_logits))
+                * state.prev_mask[None, :]
+            )
+            ** 2
+        )
+
+        on_replay = jnp.where(
+            (state.task > 0) & (buf["n_seen"] > 0), 1.0, 0.0
+        )
+        loss = (
+            (1 - on_replay) * (ce_inc + c_inc)
+            + on_replay * (ce_mem + c_inc + c_rep + c_pre + mse)
+        )
+        return loss, {"logits": logits, "model_state": new_ms}
+
+    def eval_logits(self, state, x, task_id):
+        logits, _, _ = self.forward(
+            state.params, state.mvars["model_state"], x, train=False
+        )
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)

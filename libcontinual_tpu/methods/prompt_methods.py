@@ -65,7 +65,12 @@ class PromptViTMethod(Method):
         )["params"]
         params = {"head": head_params, "prompt": self.init_prompt_params(k3)}
         seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
-        mvars = {"model_state": {}, "frozen": vit_vars["params"]}
+        # frozen weights never update: store them in the compute dtype (bf16)
+        # to kill the per-step f32->bf16 casts and halve weight HBM traffic
+        frozen = jax.tree_util.tree_map(
+            lambda p: p.astype(self.dtype), vit_vars["params"]
+        )
+        mvars = {"model_state": {}, "frozen": frozen}
         mvars.update(self.extra_mvars())
         return TrainState(
             params=params,

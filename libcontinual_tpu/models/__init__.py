@@ -13,6 +13,7 @@ from libcontinual_tpu.registry import BACKBONES
 from libcontinual_tpu.models import resnet as _resnet  # noqa: F401
 from libcontinual_tpu.models import vit as _vit  # noqa: F401
 from libcontinual_tpu.models import alexnet as _alexnet  # noqa: F401
+from libcontinual_tpu.models import clip as _clip  # noqa: F401
 
 
 def get_backbone(config: Dict[str, Any]):

@@ -46,7 +46,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=True)  # tanh GELU: VPU-cheap, timm-compatible
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -80,7 +80,7 @@ class ViTAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, prefix_kv=None, qkv_delta=None):
+    def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None):
         b, s, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -98,9 +98,65 @@ class ViTAttention(nn.Module):
             pv = pv.astype(self.dtype).reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
             k = jnp.concatenate([pk, k], axis=2)
             v = jnp.concatenate([pv, v], axis=2)
-        o = fused_attention(q, k, v, 1.0 / np.sqrt(hd))
+        if attn_mask is not None:
+            # additive mask path (CLIP text tower causal mask); plain XLA
+            # attention since the mask breaks the maskless kernel contract
+            sarr = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / np.sqrt(hd)
+            sarr = sarr + attn_mask[None, None, :, :]
+            p = jax.nn.softmax(sarr, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        else:
+            o = fused_attention(q, k, v, 1.0 / np.sqrt(hd))
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(o)
+
+
+class MoEMLP(nn.Module):
+    """Mixture-of-adapter-experts MLP add-on (reference
+    transformer.py:1461-1658: noisy top-k gating + cv^2 load-balancing over
+    small bottleneck experts). Experts are computed densely and mixed by the
+    (top-k-sparsified) gate — at 2-4 tiny experts, a dense einsum beats
+    dispatch on TPU (SURVEY.md §2.6)."""
+
+    dim: int
+    num_experts: int = 4
+    top_k: int = 2
+    bottleneck: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, gate_noise_rng=None):
+        b, s, d = x.shape
+        wg = self.param("w_gate", nn.initializers.zeros, (d, self.num_experts))
+        wn = self.param("w_noise", nn.initializers.zeros, (d, self.num_experts))
+        down = self.param(
+            "down", nn.initializers.kaiming_uniform(),
+            (self.num_experts, d, self.bottleneck),
+        )
+        up = self.param(
+            "up", nn.initializers.zeros_init(), (self.num_experts, self.bottleneck, d)
+        )
+        xf = x.astype(jnp.float32)
+        clean = xf @ wg
+        if gate_noise_rng is not None:
+            noise_std = jax.nn.softplus(xf @ wn) + 1e-2
+            logits = clean + jax.random.normal(gate_noise_rng, clean.shape) * noise_std
+        else:
+            logits = clean
+        topv, _ = jax.lax.top_k(logits, self.top_k)
+        thresh = topv[..., -1:]
+        masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+        gates = jax.nn.softmax(masked, axis=-1)  # (B, S, E)
+        h = jnp.einsum("bsd,edk->bsek", x.astype(self.dtype), down.astype(self.dtype))
+        h = nn.relu(h)
+        y = jnp.einsum("bsek,ekd->bsed", h, up.astype(self.dtype))
+        out = jnp.einsum("bse,bsed->bsd", gates.astype(self.dtype), y)
+        # cv^2 load-balancing loss over gate importance (transformer.py:1540)
+        importance = jnp.sum(gates.reshape(-1, self.num_experts), axis=0)
+        cv2 = jnp.var(importance) / (jnp.mean(importance) ** 2 + 1e-10)
+        return out, cv2
 
 
 class ViTBlock(nn.Module):
@@ -109,24 +165,37 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     adapter_dim: int = 0
     adapter_scale: float = 0.1
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, prefix_kv=None, qkv_delta=None):
+    def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
+                 moe_rng=None):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
         ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
         x = x + ViTAttention(self.dim, self.num_heads, self.dtype, name="attn")(
-            ln1, prefix_kv=prefix_kv, qkv_delta=qkv_delta
+            ln1, prefix_kv=prefix_kv, qkv_delta=qkv_delta, attn_mask=attn_mask
         )
         ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
         y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(ln2)
+        aux = 0.0
         if self.adapter_dim > 0:
             y = y + Adapter(
                 self.dim, self.adapter_dim, self.adapter_scale, self.dtype,
                 name="adaptmlp",
             )(ln2)
-        return x + y
+        if self.moe_experts > 0:
+            moe_out, aux = MoEMLP(
+                self.dim, self.moe_experts, self.moe_top_k, dtype=self.dtype,
+                name="moe",
+            )(ln2, gate_noise_rng=moe_rng)
+            y = y + moe_out
+        out = x + y
+        if self.moe_experts > 0:
+            return out, aux
+        return out
 
 
 class VisionTransformer(nn.Module):
@@ -140,6 +209,8 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     adapter_dim: int = 0
     adapter_scale: float = 0.1
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -151,6 +222,7 @@ class VisionTransformer(nn.Module):
         prefix_kv: Optional[Dict[int, Any]] = None,
         qkv_deltas: Optional[Dict[int, jax.Array]] = None,
         feature_mode: str = "cls",
+        capture: bool = False,
     ):
         b = x.shape[0]
         x = nn.Conv(
@@ -179,18 +251,35 @@ class VisionTransformer(nn.Module):
             n_prompt = prepend_tokens.shape[1]
             x = jnp.concatenate([prepend_tokens.astype(self.dtype), x], axis=1)
 
+        attn_inputs = []
+        moe_aux = 0.0
         for i in range(self.depth):
             pkv = prefix_kv.get(i) if prefix_kv else None
             delta = qkv_deltas.get(i) if qkv_deltas else None
-            x = ViTBlock(
+            block = ViTBlock(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,
                 self.adapter_dim,
                 self.adapter_scale,
+                self.moe_experts,
+                self.moe_top_k,
                 self.dtype,
                 name=f"block_{i}",
-            )(x, prefix_kv=pkv, qkv_delta=delta)
+            )
+            if capture:
+                # input-covariance capture point for the LoRA/projection
+                # family (reference vit_inflora.py:222-228 accumulates the
+                # attention input at each block)
+                attn_inputs.append(x.astype(jnp.float32))
+            if self.moe_experts > 0:
+                moe_rng = (
+                    self.make_rng("moe") if train and self.has_rng("moe") else None
+                )
+                x, aux = block(x, prefix_kv=pkv, qkv_delta=delta, moe_rng=moe_rng)
+                moe_aux = moe_aux + aux
+            else:
+                x = block(x, prefix_kv=pkv, qkv_delta=delta)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
@@ -199,7 +288,12 @@ class VisionTransformer(nn.Module):
             feats = jnp.mean(x[:, :n_prompt], axis=1)
         else:
             feats = x[:, n_prompt, :]  # cls token position
-        return {"features": feats.astype(jnp.float32), "tokens": x}
+        out = {"features": feats.astype(jnp.float32), "tokens": x}
+        if capture:
+            out["attn_inputs"] = attn_inputs
+        if self.moe_experts > 0:
+            out["moe_aux"] = moe_aux
+        return out
 
 
 # --------------------------------------------------------------- timm import

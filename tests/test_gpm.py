@@ -28,3 +28,44 @@ def test_gpm_til(tiny_config):
     assert proj_norm > 0
     # task-aware eval: accuracies above within-task chance region
     assert res["acc_table"][1].mean() > 20.0
+
+
+def test_trgp_til(tiny_config):
+    cfg = copy.deepcopy(tiny_config)
+    cfg["backbone"] = {"name": "AlexNet_TRGP", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "TRGP",
+        "kwargs": {"num_class": 8, "feat_dim": 2048, "init_cls_num": 4,
+                   "inc_cls_num": 4, "task_num": 2},
+    }
+    cfg["setting"] = "task-aware"
+    cfg["epoch"] = 2
+    cfg["batch_size"] = 16
+    cfg["buffer"] = {"name": "LinearBuffer",
+                     "kwargs": {"buffer_size": 0, "batch_size": 16, "strategy": "random"}}
+    tr = Trainer(cfg)
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    # per-task subspaces recorded for both tasks
+    assert tr.method._task_spaces[0][0].shape[1] > 0
+    assert tr.method._task_spaces[1][0].shape[1] > 0
+
+
+def test_api_til(tiny_config):
+    cfg = copy.deepcopy(tiny_config)
+    cfg["backbone"] = {"name": "AlexNet_TRGP", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "API",
+        "kwargs": {"num_class": 8, "feat_dim": 2048, "init_cls_num": 4,
+                   "inc_cls_num": 4, "task_num": 2, "lame": 1.0, "lamb": 0.97},
+    }
+    cfg["setting"] = "task-aware"
+    cfg["epoch"] = 2
+    cfg["batch_size"] = 16
+    cfg["buffer"] = {"name": "LinearBuffer",
+                     "kwargs": {"buffer_size": 0, "batch_size": 16, "strategy": "random"}}
+    tr = Trainer(cfg)
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    assert len(tr.method._project_type) == 5
+    assert set(tr.method._project_type) <= {"remove", "retain"}
