@@ -74,6 +74,21 @@ class Adapter(nn.Module):
         return h * self.scale
 
 
+class SSF(nn.Module):
+    """Scale-Shift feature modulation (reference
+    petl/vision_transformer_ssf.py:378-396): ``x * gamma + beta`` with
+    per-channel learnable parameters — the PETL method that tunes only these
+    modulations on a frozen ViT."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.normal(0.02), (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        return x * (1.0 + gamma).astype(x.dtype) + beta.astype(x.dtype)
+
+
 class ViTAttention(nn.Module):
     dim: int
     num_heads: int
@@ -167,6 +182,7 @@ class ViTBlock(nn.Module):
     adapter_scale: float = 0.1
     moe_experts: int = 0
     moe_top_k: int = 2
+    ssf: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -175,10 +191,14 @@ class ViTBlock(nn.Module):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
         ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        if self.ssf:
+            ln1 = SSF(self.dim, name="ssf_1")(ln1)
         x = x + ViTAttention(self.dim, self.num_heads, self.dtype, name="attn")(
             ln1, prefix_kv=prefix_kv, qkv_delta=qkv_delta, attn_mask=attn_mask
         )
         ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        if self.ssf:
+            ln2 = SSF(self.dim, name="ssf_2")(ln2)
         y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(ln2)
         aux = 0.0
         if self.adapter_dim > 0:
@@ -211,6 +231,8 @@ class VisionTransformer(nn.Module):
     adapter_scale: float = 0.1
     moe_experts: int = 0
     moe_top_k: int = 2
+    ssf: bool = False
+    vpt_len: int = 0  # deep visual-prompt-tuning tokens per layer
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -253,6 +275,14 @@ class VisionTransformer(nn.Module):
 
         attn_inputs = []
         moe_aux = 0.0
+        if self.vpt_len > 0:
+            # VPT-deep (reference petl/vpt.py:6-144): per-layer prompt tokens
+            # prepended before each block and replaced at the next
+            vpt = self.param(
+                "vpt_prompts",
+                nn.initializers.uniform(scale=0.1),
+                (self.depth, self.vpt_len, self.embed_dim),
+            )
         for i in range(self.depth):
             pkv = prefix_kv.get(i) if prefix_kv else None
             delta = qkv_deltas.get(i) if qkv_deltas else None
@@ -264,9 +294,19 @@ class VisionTransformer(nn.Module):
                 self.adapter_scale,
                 self.moe_experts,
                 self.moe_top_k,
+                self.ssf,
                 self.dtype,
                 name=f"block_{i}",
             )
+            if self.vpt_len > 0:
+                toks = jnp.broadcast_to(
+                    vpt[i][None].astype(self.dtype), (b, self.vpt_len, self.embed_dim)
+                )
+                if i == 0:
+                    x = jnp.concatenate([toks, x], axis=1)
+                    n_prompt += self.vpt_len
+                else:
+                    x = jnp.concatenate([toks, x[:, self.vpt_len :]], axis=1)
             if capture:
                 # input-covariance capture point for the LoRA/projection
                 # family (reference vit_inflora.py:222-228 accumulates the
@@ -381,11 +421,32 @@ def vit_in21k_adapter(**kwargs):
     )
 
 
+@BACKBONES.register("vit_ssf")
+def vit_ssf(**kwargs):
+    """SSF PETL ViT (reference petl/vision_transformer_ssf.py)."""
+    return VisionTransformer(
+        img_size=int(kwargs.get("img_size", 224)), ssf=True,
+        dtype=kwargs.get("dtype", jnp.bfloat16),
+    )
+
+
+@BACKBONES.register("vit_vpt")
+def vit_vpt(**kwargs):
+    """VPT-deep PETL ViT (reference petl/vpt.py)."""
+    return VisionTransformer(
+        img_size=int(kwargs.get("img_size", 224)),
+        vpt_len=int(kwargs.get("vpt_len", 5)),
+        dtype=kwargs.get("dtype", jnp.bfloat16),
+    )
+
+
 @BACKBONES.register("vit_tiny_test")
 def vit_tiny_test(**kwargs):
     """Small ViT for unit tests (32x32/patch 8, 4 blocks)."""
     return VisionTransformer(
         img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=4,
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
+        ssf=bool(kwargs.get("ssf", False)),
+        vpt_len=int(kwargs.get("vpt_len", 0)),
         dtype=kwargs.get("dtype", jnp.float32),
     )
