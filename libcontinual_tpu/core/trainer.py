@@ -52,6 +52,14 @@ class Trainer:
         jaxcache.enable()
         self.config = config
         self.log = get_logger(workdir or config.get("save_path") or None)
+        self.log.event("config", **{k: v for k, v in config.items()
+                                    if not isinstance(v, (list, dict))})
+        self.log.info(
+            "method=%s backbone=%s dataset=%s tasks=%d (%d+%dx)",
+            config["classifier"]["name"], config["backbone"]["name"],
+            config.get("dataset"), config["task_num"],
+            config["init_cls_num"], config["inc_cls_num"],
+        )
         init_seed(int(config.get("seed", 0)), bool(config.get("deterministic", True)))
 
         mesh_cfg = config.get("mesh") or {}
@@ -88,6 +96,28 @@ class Trainer:
         self._jit_cache: Dict[Any, Any] = {}
         self._eval_fn = jax.jit(self.method.eval_step)
         self._feature_fn = jax.jit(self._features)
+
+        method = self.method
+
+        def eval_scan(state, images, labels, idx, weights, task_id):
+            def body(correct, xs):
+                bidx, w = xs
+                batch = {
+                    "image": jnp.take(images, bidx, axis=0),
+                    "label": jnp.take(labels, bidx, axis=0),
+                }
+                preds = method.eval_step(state, batch, task_id)
+                correct = correct + jnp.sum(
+                    (preds == batch["label"]).astype(jnp.float32) * w
+                )
+                return correct, ()
+
+            total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (idx, weights))
+            return total
+
+        # one dispatch per (task, data-size): the whole eval pass runs as a
+        # scan on device (each host round-trip costs ~35 ms on this tunnel)
+        self._eval_scan = jax.jit(eval_scan)
 
         self.acc_table = np.zeros((self.task_num, self.task_num))
         self.epoch_scan = bool(config.get("epoch_scan", True)) and self.method.scan_safe
@@ -268,23 +298,20 @@ class Trainer:
         steps = _ceil_div(n, self.batch_size)
         total = steps * self.batch_size
         pad = total - n
-        idx = np.arange(n)
+        idx = np.arange(total) % n  # wrap; padded tail weighs 0
+        weights = np.ones(total, np.float32)
         if pad:
-            idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-        correct = 0
+            weights[n:] = 0.0
+        images, labels = self._device_task_data(td)
+        idx_d, w_d = self._shard_step_arrays(
+            idx.reshape(steps, self.batch_size).astype(np.int32),
+            weights.reshape(steps, self.batch_size),
+        )
         tid = jnp.asarray(task_id, jnp.int32)
-        rep = self.mesh.replicated_sharding()
-        sh = NamedSharding(self.mesh.mesh, P("data"))
-        for s in range(steps):
-            bidx = idx[s * self.batch_size : (s + 1) * self.batch_size]
-            batch = {
-                "image": jax.device_put(td.images[bidx], sh),
-                "label": jax.device_put(td.labels[bidx].astype(np.int32), sh),
-            }
-            preds = np.asarray(self._eval_fn(self.state, batch, tid))
-            valid = s * self.batch_size + np.arange(self.batch_size) < n
-            correct += int(np.sum((preds == td.labels[bidx]) & valid))
-        return correct, n
+        correct = float(
+            self._eval_scan(self.state, images, labels, idx_d, w_d, tid)
+        )
+        return int(round(correct)), n
 
     def _validate(self, task_idx: int) -> Dict[str, Any]:
         """Per-task accuracies on tasks 0..task_idx

@@ -61,7 +61,10 @@ class LoRAViTMethod(Method):
     def init_state(self, rng, sample_input_hw):
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         dummy = self.model_input(sample_input_hw)
-        vit_vars = self.backbone.init(k1, dummy, train=False)
+        vit_vars = dict(self.backbone.init(k1, dummy, train=False))
+        from libcontinual_tpu.models.vit import maybe_load_pretrained
+
+        vit_vars["params"] = maybe_load_pretrained(vit_vars["params"], self.config)
         from libcontinual_tpu.models.heads import LinearHead
 
         self._head = LinearHead(self.num_class)

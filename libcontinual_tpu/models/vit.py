@@ -339,6 +339,21 @@ class VisionTransformer(nn.Module):
 # --------------------------------------------------------------- timm import
 
 
+def maybe_load_pretrained(vit_params: Dict, config: Dict) -> Dict:
+    """Load timm weights into a ViT param tree when the config names an
+    existing local checkpoint (``backbone.kwargs.pretrained_path``); random
+    init otherwise (zero-egress image)."""
+    path = ((config.get("backbone") or {}).get("kwargs") or {}).get(
+        "pretrained_path"
+    )
+    if path:
+        import os
+
+        if os.path.exists(path):
+            return load_timm_weights(vit_params, path)
+    return vit_params
+
+
 def load_timm_weights(params: Dict, path: str) -> Dict:
     """Load a timm ViT-B/16 checkpoint (.npz of jax-format weights, or a
     torch state-dict via numpy) into our param tree, gated on file existence
@@ -401,7 +416,18 @@ def _load_npz_into(params: Dict, raw: Dict):
         p["mlp"]["fc2"]["bias"] = raw[f"{mlp}/Dense_1/bias"]
 
 
-@BACKBONES.register("ViTZoo", aliases=("vit_base_patch16_224", "vit-b-16"))
+@BACKBONES.register(
+    "ViTZoo",
+    aliases=(
+        "vit_base_patch16_224",
+        "vit-b-16",
+        # reference backbone names that map onto the unified ViT here:
+        "SiNet_vit",        # InfLoRA's per-task-head wrapper (reference SiNet.py)
+        "vit_inflora",      # reference vit_inflora.py timm fork
+        "vit_pt_imnet_dap",  # reference vit_dap.py entry (dap prompts live in the method)
+        "ViT_CL_LoRA",      # reference vit.py:206
+    ),
+)
 def vitzoo(**kwargs):
     return VisionTransformer(
         img_size=int(kwargs.get("img_size", 224)),
