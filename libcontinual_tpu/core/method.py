@@ -352,3 +352,11 @@ class Method:
         x = self.augment(None, batch["image"], train=False)
         logits = self.eval_logits(state, x, task_id)
         return jnp.argmax(logits, axis=-1)
+
+    def herding_features(self, state: TrainState, x) -> jax.Array:
+        """Features used by the herding buffer update (overridable by methods
+        whose backbone params aren't a plain single-net tree, e.g. DER)."""
+        out, _ = self.apply_backbone(
+            state.params, state.mvars["model_state"], x, train=False
+        )
+        return out["features"]

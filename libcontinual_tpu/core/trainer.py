@@ -140,10 +140,7 @@ class Trainer:
 
     def _features(self, state, images):
         x = self.method.augment(None, images, train=False)
-        out, _ = self.method.apply_backbone(
-            state.params, state.mvars["model_state"], x, train=False
-        )
-        return out["features"]
+        return self.method.herding_features(state, x)
 
     def _get_epoch_fn(self, tx):
         key = ("epoch", id(tx))

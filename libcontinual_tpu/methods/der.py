@@ -185,3 +185,7 @@ class DER(Method):
         _, flat, _ = self._concat_features(state.params, state.mvars, x, train=False)
         logits = self._fc.apply({"params": state.params["head"]}, flat)
         return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+
+    def herding_features(self, state, x):
+        _, flat, _ = self._concat_features(state.params, state.mvars, x, train=False)
+        return flat

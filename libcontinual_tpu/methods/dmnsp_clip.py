@@ -1,0 +1,161 @@
+"""DMNSP on CLIP — the reference's dual-modality variant
+(reference core/model/dmnsp.py with a CLIP backbone: adapters in both towers,
+image-text contrastive classification against the current task's class-name
+tokens, null-space projection of the VISUAL adapters' gradients).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.method import masked_cross_entropy
+from libcontinual_tpu.core.state import TrainState, make_masks
+from libcontinual_tpu.methods.clip_methods import CLIPMethod
+from libcontinual_tpu.methods.dmnsp import smoothed_ce
+from libcontinual_tpu.registry import METHODS
+
+
+@METHODS.register("DMNSP_CLIP", aliases=("TRGP_CLIP_DMNSP",))
+class DMNSPCLIP(CLIPMethod):
+    per_iter_scheduler = True
+
+    def __init__(self, config, mesh_ctx=None):
+        bk = config["backbone"].setdefault("kwargs", {})
+        bk.setdefault("adapter_dim", 64)
+        super().__init__(config, mesh_ctx)
+        self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
+        self.lamda_scale = float(self.kwargs.get("lamda_scale", 30.0))
+        self.vision_width = 768 if "tiny" not in config["backbone"]["name"] else 64
+        self.depth = self.backbone.vision_depth
+
+    def init_state(self, rng, sample_input_hw):
+        k1, k2 = jax.random.split(rng)
+        dummy = self.model_input(sample_input_hw)
+        toks = jnp.zeros((2, 77), jnp.int32)
+        variables = self.backbone.init(k1, dummy, toks, train=False)
+
+        def split(tree, path=()):
+            train_t, frozen_t = {}, {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    t, f = split(v, path + (k,))
+                    if t:
+                        train_t[k] = t
+                    if f:
+                        frozen_t[k] = f
+                else:
+                    if any("adaptmlp" in p for p in path):
+                        train_t[k] = v
+                    else:
+                        frozen_t[k] = v
+            return train_t, frozen_t
+
+        trainable, frozen = split(variables["params"])
+        seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
+        d = self.vision_width
+        return TrainState(
+            params={"clip": trainable},
+            opt_state=self._tx_for_task(0).init({"clip": trainable}),
+            mvars={
+                "model_state": {},
+                "frozen": frozen,
+                "task_tokens": self.class_tokens(0, self.num_class),
+                "P": jnp.zeros((self.depth, d, d), jnp.float32),
+                "lam": jnp.ones((self.depth,), jnp.float32),
+                "proj_on": jnp.zeros((), jnp.float32),
+            },
+            rng=k2,
+            step=jnp.zeros((), jnp.int32),
+            task=jnp.zeros((), jnp.int32),
+            seen_mask=seen,
+            prev_mask=prev,
+        )
+
+    def _merge(self, trainable, frozen):
+        def merge(a, b):
+            out = dict(b)
+            for k, v in a.items():
+                out[k] = merge(v, b.get(k, {})) if isinstance(v, dict) else v
+            return out
+
+        return merge(trainable, frozen)
+
+    def _apply(self, params, mvars, images, tokens, train):
+        full = self._merge(params["clip"], mvars["frozen"])
+        return self.backbone.apply({"params": full}, images, tokens, train=train)
+
+    def loss(self, params, state, batch, rng):
+        out = self._apply(params, state.mvars, batch["x"], state.mvars["task_tokens"], True)
+        logits = out["logits_per_image"]
+        cur_mask = state.seen_mask - state.prev_mask
+        ce = smoothed_ce(
+            logits, batch["label"], batch.get("weight"), cur_mask,
+            self.label_smoothing,
+        )
+        masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
+        return ce, {"logits": masked, "model_state": {}}
+
+    def transform_grads(self, grads, state):
+        on = state.mvars["proj_on"]
+        grads = jax.tree_util.tree_map(lambda x: x, grads)
+        clip_g = dict(grads["clip"])
+        visual = dict(clip_g.get("visual", {}))
+        for blk, sub in visual.items():
+            i = int(blk.split("_")[1])
+            P = state.mvars["P"][i]
+            lam = state.mvars["lam"][i]
+            sub = jax.tree_util.tree_map(lambda x: x, sub)
+            ad = sub["adaptmlp"]
+            gd = ad["down"]["kernel"]
+            gu = ad["up"]["kernel"]
+            ad["down"]["kernel"] = jnp.where(on > 0, (P @ gd) * lam, gd)
+            ad["up"]["kernel"] = jnp.where(on > 0, (gu @ P) * lam, gu)
+            visual[blk] = sub
+        clip_g["visual"] = visual
+        grads["clip"] = clip_g
+        return grads
+
+    def _visual_covs(self, state, task_data):
+        bs = min(int(self.config["batch_size"]), len(task_data))
+        im = jnp.asarray(task_data.images[:bs])
+        x = self.augment(None, im, train=False)
+        full = self._merge(state.params["clip"], state.mvars["frozen"])
+        out = self.backbone.apply(
+            {"params": full},
+            method=lambda m, xx: m.visual(xx, train=False, capture=True),
+            xx=x,
+        )
+        return [np.asarray(jnp.einsum("bsd,bse->de", a, a)) for a in out["attn_inputs"]]
+
+    def before_task(self, state, task_idx, task_data):
+        mvars = dict(state.mvars)
+        mvars["task_tokens"] = self.class_tokens(0, self.num_class)
+        if task_idx > 0:
+            covs = self._visual_covs(state, task_data)
+            lam = np.ones((self.depth,), np.float32)
+            P = np.array(state.mvars["P"])
+            for j in range(self.depth):
+                u, _, _ = np.linalg.svd(covs[j])
+                sim = float(np.linalg.norm(P[j] @ u[:, 0]))
+                lam[j] = np.exp(-sim) * self.lamda_scale
+            mvars["lam"] = jnp.asarray(lam)
+            mvars["proj_on"] = jnp.ones((), jnp.float32)
+        return state.replace(mvars=mvars)
+
+    def after_task(self, state, task_idx, task_data):
+        covs = self._visual_covs(state, task_data)
+        P = np.array(state.mvars["P"])
+        for i in range(self.depth):
+            u, _, _ = np.linalg.svd(covs[i])
+            V = u[:, 1:]
+            P[i] = np.clip(P[i] + V @ V.T, -10.0, 10.0)
+        mvars = dict(state.mvars)
+        mvars["P"] = jnp.asarray(P)
+        return state.replace(mvars=mvars)
+
+    def eval_logits(self, state, x, task_id):
+        out = self._apply(state.params, state.mvars, x, state.mvars["task_tokens"], False)
+        logits = out["logits_per_image"]
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)

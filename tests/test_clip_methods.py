@@ -53,3 +53,12 @@ def test_rapf(tiny_config):
     # adapter moved from identity
     k = np.asarray(tr.state.params["adapter"]["kernel"])
     assert not np.allclose(k, np.eye(k.shape[0]))
+
+
+def test_dmnsp_clip(tiny_config):
+    cfg = clip_cfg(tiny_config, "DMNSP_CLIP", {"lamda_scale": 30.0},
+                   backbone_kwargs={"adapter_dim": 8})
+    tr = Trainer(cfg)
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    assert float(np.abs(np.asarray(tr.state.mvars["P"])).sum()) > 0
