@@ -1,0 +1,77 @@
+"""Buffer unit tests: herding selection math + reservoir statistics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from libcontinual_tpu.core.buffer import LinearBuffer, _herding_order
+from libcontinual_tpu.data.continual import TaskData, imbalance_profile
+
+
+def naive_herding(feats):
+    """Reference greedy (buffer/update.py:62-78) in plain numpy."""
+    n = len(feats)
+    mu = feats.mean(0)
+    chosen, total = [], np.zeros_like(mu)
+    taken = np.zeros(n, bool)
+    for i in range(n):
+        cand = (total[None] + feats) / (i + 1)
+        d = ((cand - mu) ** 2).sum(1)
+        d[taken] = np.inf
+        j = int(np.argmin(d))
+        chosen.append(j)
+        taken[j] = True
+        total += feats[j]
+    return chosen
+
+
+def test_herding_order_matches_naive():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(17, 5).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    got = np.asarray(_herding_order(jnp.asarray(feats))).tolist()
+    assert got == naive_herding(feats)
+
+
+def test_linear_buffer_quota_and_shrink():
+    buf = LinearBuffer(buffer_size=8, strategy="equal_random")
+    imgs = np.zeros((40, 4, 4, 3), np.uint8)
+    labels = np.repeat(np.arange(4), 10).astype(np.int32)
+    buf.total_classes = 4
+    buf.update(TaskData(imgs, labels, 0, 4), seed=0)
+    assert len(buf) == 8  # 2 per class
+    for c in range(4):
+        assert (buf.labels == c).sum() == 2
+
+
+def test_reservoir_uniformity():
+    from libcontinual_tpu.methods.er import reservoir_add
+
+    cap = 32
+    buf = {
+        "bx": jnp.zeros((cap, 2, 2, 3), jnp.uint8),
+        "by": jnp.zeros((cap,), jnp.int32),
+        "bt": jnp.zeros((cap,), jnp.int32),
+        "n_seen": jnp.zeros((), jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    n_stream = 256
+    images = jnp.zeros((n_stream, 2, 2, 3), jnp.uint8)
+    labels = jnp.arange(n_stream, dtype=jnp.int32)
+    tasks = jnp.zeros((n_stream,), jnp.int32)
+    w = jnp.ones((n_stream,), jnp.float32)
+    buf = reservoir_add(buf, images, labels, tasks, w, key)
+    assert int(buf["n_seen"]) == n_stream
+    # reservoir keeps a non-trivial spread over the whole stream
+    kept = np.asarray(buf["by"])
+    assert kept.max() > n_stream // 2
+
+
+def test_imbalance_profiles_shapes():
+    for t in ("exp", "exp_re", "exp_max", "half", "halfbal", "oneshot",
+              "step", "fewshot", "none"):
+        counts = imbalance_profile(t, 20, 5, 4, 4, img_max=100, imb_factor=0.1)
+        assert len(counts) == 20
+        assert all(c >= 0 for c in counts)
+    exp = imbalance_profile("exp", 20, 5, 4, 4, 100, 0.01)
+    assert exp[0] == 100 and exp[-1] == 1  # long tail

@@ -62,3 +62,15 @@ def test_dmnsp_clip(tiny_config):
     res = tr.train_loop()
     assert np.isfinite(res["acc_table"]).all()
     assert float(np.abs(np.asarray(tr.state.mvars["P"])).sum()) > 0
+
+
+def test_trgp_clip(tiny_config):
+    cfg = clip_cfg(tiny_config, "TRGP_CLIP", {})
+    cfg["setting"] = "task-aware"
+    tr = Trainer(cfg)
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    # weight deltas trained, GPM projection built, per-task subspaces stored
+    assert float(np.abs(np.asarray(tr.state.params["qkv_delta"])).sum()) > 0
+    assert float(np.abs(np.asarray(tr.state.mvars["proj"])).sum()) > 0
+    assert tr.method._task_spaces[0][0].shape[1] > 0
