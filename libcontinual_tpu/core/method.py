@@ -234,20 +234,23 @@ class Method:
 
     # ----------------------------------------------------------- pure compute
 
-    def apply_backbone(self, params, model_state, x, train: bool):
-        """Run the backbone; returns (features_dict, new_model_state)."""
+    def apply_backbone(self, params, model_state, x, train: bool, rng=None):
+        """Run the backbone; returns (features_dict, new_model_state).
+        ``rng`` feeds dropout when the backbone uses it."""
         variables = {"params": params["backbone"], **model_state}
+        rngs = {"dropout": rng} if (train and rng is not None) else None
         if train and model_state:
             out, new_state = self.backbone.apply(
-                variables, x, train=True, mutable=list(model_state.keys())
+                variables, x, train=True, mutable=list(model_state.keys()),
+                rngs=rngs,
             )
             return out, new_state
-        out = self.backbone.apply(variables, x, train=train)
+        out = self.backbone.apply(variables, x, train=train, rngs=rngs)
         return out, model_state
 
-    def forward(self, params, model_state, x, train: bool):
+    def forward(self, params, model_state, x, train: bool, rng=None):
         """features -> logits through the method's head."""
-        out, new_state = self.apply_backbone(params, model_state, x, train)
+        out, new_state = self.apply_backbone(params, model_state, x, train, rng)
         feats = out["features"]
         logits = self._head.apply({"params": params["head"]}, feats)
         return logits, feats, new_state

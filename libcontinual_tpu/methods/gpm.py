@@ -63,7 +63,7 @@ class GPM(Method):
 
     def loss(self, params, state, batch, rng):
         logits, feats, new_model_state = self.forward(
-            params, state.mvars["model_state"], batch["x"], train=True
+            params, state.mvars["model_state"], batch["x"], train=True, rng=rng
         )
         cur_mask = state.seen_mask - state.prev_mask
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)

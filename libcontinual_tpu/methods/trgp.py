@@ -87,17 +87,20 @@ class TRGP(GPM):
             weights.append(wf.T.reshape(w.shape))
         return weights
 
-    def _forward_logits(self, params, state, x, train, capture=False):
+    def _forward_logits(self, params, state, x, train, capture=False, rng=None):
         wo = self._effective_weights(params, state.mvars, state.task)
+        rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.backbone.apply(
             {"params": params["backbone"], **state.mvars["model_state"]},
-            x, train=train, capture=capture, weight_override=wo,
+            x, train=train, capture=capture, weight_override=wo, rngs=rngs,
         )
         logits = self._head.apply({"params": params["head"]}, out["features"])
         return logits, out
 
     def loss(self, params, state, batch, rng):
-        logits, out = self._forward_logits(params, state, batch["x"], train=True)
+        logits, out = self._forward_logits(
+            params, state, batch["x"], train=True, rng=rng
+        )
         cur_mask = state.seen_mask - state.prev_mask
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)

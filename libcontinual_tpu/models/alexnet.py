@@ -98,16 +98,23 @@ class AlexNetTRGP(nn.Module):
                 captured.append(x)
             return x.astype(self.dtype) @ kernel.astype(self.dtype)
 
+        # dropout active only when a 'dropout' rng is provided at train time
+        has_drop = train and self.has_rng("dropout")
         for i, spec in enumerate(CONV_SPECS):
             x = conv(i, x, spec)
             x = _BatchStatsNorm(name=f"bn{i}")(x)
             x = nn.relu(x)
+            rate = self.dropout1 if i < 2 else self.dropout2
+            x = nn.Dropout(rate, deterministic=not has_drop, name=f"drop{i}")(x)
             x = nn.max_pool(x, (2, 2), (2, 2))
         x = x.reshape(x.shape[0], -1)
         for j, spec in enumerate(FC_SPECS):
             x = fc(3 + j, x, spec)
             x = _BatchStatsNorm(name=f"bn{3 + j}")(x)
             x = nn.relu(x)
+            x = nn.Dropout(
+                self.dropout2, deterministic=not has_drop, name=f"drop{3 + j}"
+            )(x)
         out = {"features": x.astype(jnp.float32)}
         if capture:
             out["layer_inputs"] = captured
