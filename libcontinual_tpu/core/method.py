@@ -263,7 +263,7 @@ class Method:
         """Default: plain CE on the full head (Finetune observe,
         reference finetune.py:15-25)."""
         logits, feats, new_model_state = self.forward(
-            params, state.mvars["model_state"], batch["x"], train=True
+            params, state.mvars["model_state"], batch["x"], train=True, rng=rng
         )
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"))
         return ce, {

@@ -20,7 +20,6 @@ Re-design of reference core/trainer.py:259-720 with TPU-native execution:
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Any, Dict, List, Optional
 
@@ -33,9 +32,9 @@ from libcontinual_tpu.core.buffer import LinearBuffer, build_buffer
 from libcontinual_tpu.core.metrics import compute_bwt, compute_frgt, count_parameters
 from libcontinual_tpu.core.optim import make_schedule
 from libcontinual_tpu.data.continual import TaskData, build_stream
-from libcontinual_tpu.parallel.mesh import MeshContext, make_mesh
+from libcontinual_tpu.parallel.mesh import make_mesh
 from libcontinual_tpu.registry import METHODS
-from libcontinual_tpu.utils import AverageMeter, get_logger, init_seed
+from libcontinual_tpu.utils import get_logger, init_seed
 
 # method modules register themselves on import
 import libcontinual_tpu.methods  # noqa: F401
@@ -487,12 +486,12 @@ class Trainer:
             "label": jnp.asarray(td.labels[bidx].astype(np.int32)),
         }
         tid = jnp.asarray(-1, jnp.int32)
-        self._eval_fn(self.state, batch, tid)  # warmup/compile
+        np.asarray(self._eval_fn(self.state, batch, tid))  # warmup/compile
         n_iter = 30
         t0 = time.perf_counter()
         for _ in range(n_iter):
             preds = self._eval_fn(self.state, batch, tid)
-        jax.block_until_ready(preds)
+        np.asarray(preds)  # value fetch = real sync on the axon transport
         dt = time.perf_counter() - t0
         return n_iter * self.batch_size / dt
 
