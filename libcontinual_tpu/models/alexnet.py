@@ -126,6 +126,88 @@ def alexnet_trgp(**kwargs):
     return AlexNetTRGP(dtype=kwargs.get("dtype", jnp.float32))
 
 
+class AlexNetAPI(nn.Module):
+    """API's expandable AlexNet (reference alexnet.py:160-303), fixed-shape:
+    every layer is allocated at ``base + extra`` width up front and an
+    ``active`` mask (one vector per layer, passed as input) gates which
+    output channels exist. Expansion = unmasking channels (+ host-side
+    weight duplication); no shape ever changes, so one compiled step serves
+    the entire run. Masks apply after BN+ReLU so inactive channels are
+    exactly zero downstream.
+    """
+
+    extra: int = 64  # extra capacity per layer
+    dropout1: float = 0.2
+    dropout2: float = 0.5
+    dtype: Any = jnp.float32
+
+    def widths(self):
+        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
+        fc_w = [s["features"] + self.extra for s in FC_SPECS]
+        return conv_w + fc_w
+
+    def in_flats(self):
+        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
+        return [
+            3 * 16,
+            conv_w[0] * 9,
+            conv_w[1] * 4,
+            conv_w[2] * 4,  # conv3 output is 2x2 spatial
+            FC_SPECS[0]["features"] + self.extra,
+        ]
+
+    @nn.compact
+    def __call__(self, x, active, train: bool = True, capture: bool = False):
+        captured = []
+        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
+        fc_w = [s["features"] + self.extra for s in FC_SPECS]
+        in_ch = [3, conv_w[0], conv_w[1]]
+        has_drop = train and self.has_rng("dropout")
+        for i, spec in enumerate(CONV_SPECS):
+            k = spec["kernel"]
+            kernel = self.param(
+                f"conv{i}_kernel", nn.initializers.kaiming_normal(),
+                (k, k, in_ch[i], conv_w[i]),
+            )
+            if capture:
+                captured.append(x)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = _BatchStatsNorm(name=f"bn{i}")(x)
+            x = nn.relu(x) * active[i][None, None, None, :]
+            rate = self.dropout1 if i < 2 else self.dropout2
+            x = nn.Dropout(rate, deterministic=not has_drop, name=f"drop{i}")(x)
+            x = nn.max_pool(x, (2, 2), (2, 2))
+        x = x.reshape(x.shape[0], -1)
+        fc_in = [4 * conv_w[2], fc_w[0]]
+        for j in range(2):
+            kernel = self.param(
+                f"fc{3 + j}_kernel", nn.initializers.kaiming_normal(),
+                (fc_in[j], fc_w[j]),
+            )
+            if capture:
+                captured.append(x)
+            x = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            x = _BatchStatsNorm(name=f"bn{3 + j}")(x)
+            x = nn.relu(x) * active[3 + j][None, :]
+            x = nn.Dropout(
+                self.dropout2, deterministic=not has_drop, name=f"drop{3 + j}"
+            )(x)
+        out = {"features": x.astype(jnp.float32)}
+        if capture:
+            out["layer_inputs"] = captured
+        return out
+
+
+@BACKBONES.register("AlexNet_API", aliases=("alexnet_api",))
+def alexnet_api(**kwargs):
+    return AlexNetAPI(
+        extra=int(kwargs.get("extra", 64)), dtype=kwargs.get("dtype", jnp.float32)
+    )
+
+
 def conv_patches(x: jax.Array, kernel: int) -> jax.Array:
     """im2col: (B, H, W, C) -> (B*out_h*out_w, kh*kw*C) valid patches, in the
     SAME flattening order as the flax conv kernel (kh, kw, C) so the GPM

@@ -57,7 +57,8 @@ def test_api_til(tiny_config):
     cfg["classifier"] = {
         "name": "API",
         "kwargs": {"num_class": 8, "feat_dim": 2048, "init_cls_num": 4,
-                   "inc_cls_num": 4, "task_num": 2, "lame": 1.0, "lamb": 0.97},
+                   "inc_cls_num": 4, "task_num": 2, "lame": 1.0, "lamb": 0.97,
+                   "expand_thres": 2.0, "expand_step": 8},  # force expansion
     }
     cfg["setting"] = "task-aware"
     cfg["epoch"] = 2
@@ -69,3 +70,7 @@ def test_api_til(tiny_config):
     assert np.isfinite(res["acc_table"]).all()
     assert len(tr.method._project_type) == 5
     assert set(tr.method._project_type) <= {"remove", "retain"}
+    # channel expansion actually grew active widths beyond the base
+    import numpy as _np
+    actives = [int(_np.asarray(a).sum()) for a in tr.state.mvars["active"]]
+    assert any(a > b for a, b in zip(actives, tr.method.base_widths))
