@@ -42,6 +42,22 @@ class CLIPMethod(Method):
     def _backbone_kind(self):
         return "clip"
 
+    def clip_init_params(self, rng, dummy, toks):
+        """Init CLIP params, loading a local OpenAI checkpoint when
+        ``backbone.kwargs.pretrained_path`` names an existing file."""
+        import os
+
+        variables = self.backbone.init(rng, dummy, toks, train=False)
+        params = variables["params"]
+        path = ((self.config.get("backbone") or {}).get("kwargs") or {}).get(
+            "pretrained_path"
+        )
+        if path and os.path.exists(path):
+            from libcontinual_tpu.models.clip import load_clip_torch_weights
+
+            params = load_clip_torch_weights(params, path)
+        return params
+
     def class_tokens(self, lo: int, hi: int) -> jnp.ndarray:
         names = [
             self.class_names[c] if c < len(self.class_names) and self.class_names[c]
@@ -63,7 +79,7 @@ class MoEAdapter4CL(CLIPMethod):
         k1, k2 = jax.random.split(rng)
         dummy = self.model_input(sample_input_hw)
         toks = jnp.zeros((2, 77), jnp.int32)
-        variables = self.backbone.init(k1, dummy, toks, train=False)
+        clip_params = self.clip_init_params(k1, dummy, toks)
         # split: MoE/adapter params train, CLIP trunk frozen
         def split(tree, path=()):
             train_t, frozen_t = {}, {}
@@ -81,7 +97,7 @@ class MoEAdapter4CL(CLIPMethod):
                         frozen_t[k] = v
             return train_t, frozen_t
 
-        trainable, frozen = split(variables["params"])
+        trainable, frozen = split(clip_params)
         seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
         return TrainState(
             params={"clip": trainable},
@@ -149,7 +165,7 @@ class RAPF(CLIPMethod):
         k1, k2, k3 = jax.random.split(rng, 3)
         dummy = self.model_input(sample_input_hw)
         toks = jnp.zeros((2, 77), jnp.int32)
-        variables = self.backbone.init(k1, dummy, toks, train=False)
+        clip_params = self.clip_init_params(k1, dummy, toks)
         d = self.backbone.embed_dim
         self.embed_dim = d
         adapter = {
@@ -162,7 +178,7 @@ class RAPF(CLIPMethod):
             opt_state=self._tx_for_task(0).init({"adapter": adapter}),
             mvars={
                 "model_state": {},
-                "frozen": variables["params"],
+                "frozen": clip_params,
                 "text_feats": jnp.zeros((self.num_class, d), jnp.float32),
                 "cls_mean": jnp.zeros((self.num_class, d), jnp.float32),
                 "cls_var": jnp.ones((self.num_class, d), jnp.float32),

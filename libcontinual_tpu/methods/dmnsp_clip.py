@@ -34,7 +34,7 @@ class DMNSPCLIP(CLIPMethod):
         k1, k2 = jax.random.split(rng)
         dummy = self.model_input(sample_input_hw)
         toks = jnp.zeros((2, 77), jnp.int32)
-        variables = self.backbone.init(k1, dummy, toks, train=False)
+        clip_params = self.clip_init_params(k1, dummy, toks)
 
         def split(tree, path=()):
             train_t, frozen_t = {}, {}
@@ -52,7 +52,7 @@ class DMNSPCLIP(CLIPMethod):
                         frozen_t[k] = v
             return train_t, frozen_t
 
-        trainable, frozen = split(variables["params"])
+        trainable, frozen = split(clip_params)
         seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
         d = self.vision_width
         return TrainState(

@@ -45,7 +45,7 @@ class TRGPCLIP(CLIPMethod):
         k1, k2 = jax.random.split(rng)
         dummy = self.model_input(sample_input_hw)
         toks = jnp.zeros((2, 77), jnp.int32)
-        variables = self.backbone.init(k1, dummy, toks, train=False)
+        clip_params = self.clip_init_params(k1, dummy, toks)
         d, L, T, R = self.width, self.depth, self.task_num, self.R_CAP
         params = {
             "qkv_delta": jnp.zeros((L, d, 3 * d), jnp.float32),
@@ -59,7 +59,7 @@ class TRGPCLIP(CLIPMethod):
             opt_state=self._tx_for_task(0).init(params),
             mvars={
                 "model_state": {},
-                "frozen": variables["params"],
+                "frozen": clip_params,
                 "task_tokens": self.class_tokens(0, self.num_class),
                 "proj": jnp.zeros((L, d, d), jnp.float32),
                 "tr_space": jnp.zeros((L, T, 2, d, R), jnp.float32),

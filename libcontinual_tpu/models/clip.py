@@ -155,6 +155,100 @@ class CLIP(nn.Module):
         return out
 
 
+# ----------------------------------------------------------- weight import
+
+
+def load_clip_torch_weights(params, source) -> dict:
+    """Load an OpenAI-CLIP torch state dict into our param tree (behavioral
+    port of reference clip.py:418-498's key remap). ``source`` is a path to a
+    torch checkpoint (file-gated; zero-egress image) or an already-loaded
+    ``dict`` of numpy arrays. Unknown/missing keys are left at init."""
+    import numpy as np
+
+    if isinstance(source, (str,)):
+        import os
+
+        if not os.path.exists(source):
+            raise FileNotFoundError(source)
+        import torch
+
+        sd = torch.load(source, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.detach().numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in source.items()}
+
+    import jax
+
+    p = jax.tree_util.tree_map(np.array, params)
+
+    # towers' top-level tensors
+    if "visual.proj" in sd and p["visual_projection"].shape == sd["visual.proj"].shape:
+        p["visual_projection"][...] = sd["visual.proj"]
+    if "text_projection" in sd and p["text"]["text_projection"].shape == sd["text_projection"].shape:
+        p["text"]["text_projection"][...] = sd["text_projection"]
+    if "logit_scale" in sd:
+        p["logit_scale"][...] = sd["logit_scale"]
+    if "token_embedding.weight" in sd:
+        p["text"]["token_embedding"][...] = sd["token_embedding.weight"]
+    if "positional_embedding" in sd:
+        p["text"]["pos_embed"][...] = sd["positional_embedding"]
+    if "ln_final.weight" in sd:
+        p["text"]["ln_final"]["scale"][...] = sd["ln_final.weight"]
+        p["text"]["ln_final"]["bias"][...] = sd["ln_final.bias"]
+    # visual stem
+    if "visual.conv1.weight" in sd:
+        # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+        p["visual"]["patch_embed"]["kernel"][...] = sd[
+            "visual.conv1.weight"
+        ].transpose(2, 3, 1, 0)
+    if "visual.class_embedding" in sd:
+        p["visual"]["cls_token"][...] = sd["visual.class_embedding"].reshape(
+            p["visual"]["cls_token"].shape
+        )
+    if "visual.positional_embedding" in sd:
+        p["visual"]["pos_embed"][...] = sd["visual.positional_embedding"][None]
+    if "visual.ln_post.weight" in sd:
+        p["visual"]["norm"]["scale"][...] = sd["visual.ln_post.weight"]
+        p["visual"]["norm"]["bias"][...] = sd["visual.ln_post.bias"]
+
+    def load_block(dst, prefix):
+        m = {
+            "ln_1": ("ln_1.weight", "ln_1.bias"),
+            "ln_2": ("ln_2.weight", "ln_2.bias"),
+        }
+        for ours, (wk, bk) in m.items():
+            if f"{prefix}.{wk}" in sd:
+                dst[ours]["scale"][...] = sd[f"{prefix}.{wk}"]
+                dst[ours]["bias"][...] = sd[f"{prefix}.{bk}"]
+        if f"{prefix}.attn.in_proj_weight" in sd:
+            dst["attn"]["qkv"]["kernel"][...] = sd[
+                f"{prefix}.attn.in_proj_weight"
+            ].T
+            dst["attn"]["qkv"]["bias"][...] = sd[f"{prefix}.attn.in_proj_bias"]
+        if f"{prefix}.attn.out_proj.weight" in sd:
+            dst["attn"]["proj"]["kernel"][...] = sd[
+                f"{prefix}.attn.out_proj.weight"
+            ].T
+            dst["attn"]["proj"]["bias"][...] = sd[f"{prefix}.attn.out_proj.bias"]
+        if f"{prefix}.mlp.c_fc.weight" in sd:
+            dst["mlp"]["fc1"]["kernel"][...] = sd[f"{prefix}.mlp.c_fc.weight"].T
+            dst["mlp"]["fc1"]["bias"][...] = sd[f"{prefix}.mlp.c_fc.bias"]
+            dst["mlp"]["fc2"]["kernel"][...] = sd[f"{prefix}.mlp.c_proj.weight"].T
+            dst["mlp"]["fc2"]["bias"][...] = sd[f"{prefix}.mlp.c_proj.bias"]
+
+    vdepth = len([k for k in p["visual"] if k.startswith("block_")])
+    for i in range(vdepth):
+        load_block(p["visual"][f"block_{i}"], f"visual.transformer.resblocks.{i}")
+    tdepth = len([k for k in p["text"] if k.startswith("block_")])
+    for i in range(tdepth):
+        load_block(p["text"][f"block_{i}"], f"transformer.resblocks.{i}")
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
 @BACKBONES.register("clip", aliases=("Clip", "CLIP"))
 def clip(**kwargs):
     return CLIP(

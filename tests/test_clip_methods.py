@@ -74,3 +74,62 @@ def test_trgp_clip(tiny_config):
     assert float(np.abs(np.asarray(tr.state.params["qkv_delta"])).sum()) > 0
     assert float(np.abs(np.asarray(tr.state.mvars["proj"])).sum()) > 0
     assert tr.method._task_spaces[0][0].shape[1] > 0
+
+
+def test_clip_torch_weight_import():
+    """Synthetic OpenAI-format state dict loads through the key remap."""
+    import jax
+    import jax.numpy as jnp
+    from libcontinual_tpu.registry import BACKBONES
+    from libcontinual_tpu.models.clip import load_clip_torch_weights
+
+    m = BACKBONES.get("clip_tiny_test")()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), x, toks, train=False)["params"]
+
+    rng = np.random.RandomState(0)
+    W, D, E = 64, 2, 32  # width, depth, embed of the tiny model
+    sd = {
+        "visual.proj": rng.randn(W, E).astype(np.float32),
+        "text_projection": rng.randn(W, E).astype(np.float32),
+        "logit_scale": np.float32(1.5),
+        "token_embedding.weight": rng.randn(49408, W).astype(np.float32),
+        "positional_embedding": rng.randn(77, W).astype(np.float32),
+        "ln_final.weight": np.ones(W, np.float32),
+        "ln_final.bias": np.zeros(W, np.float32),
+        "visual.conv1.weight": rng.randn(W, 3, 8, 8).astype(np.float32),
+        "visual.class_embedding": rng.randn(W).astype(np.float32),
+        "visual.positional_embedding": rng.randn(17, W).astype(np.float32),
+        "visual.ln_post.weight": np.ones(W, np.float32),
+        "visual.ln_post.bias": np.zeros(W, np.float32),
+    }
+    for tower, prefix in (("visual", "visual.transformer"), ("text", "transformer")):
+        for i in range(D):
+            b = f"{prefix}.resblocks.{i}"
+            sd[f"{b}.ln_1.weight"] = np.ones(W, np.float32)
+            sd[f"{b}.ln_1.bias"] = np.zeros(W, np.float32)
+            sd[f"{b}.ln_2.weight"] = np.ones(W, np.float32)
+            sd[f"{b}.ln_2.bias"] = np.zeros(W, np.float32)
+            sd[f"{b}.attn.in_proj_weight"] = rng.randn(3 * W, W).astype(np.float32)
+            sd[f"{b}.attn.in_proj_bias"] = np.zeros(3 * W, np.float32)
+            sd[f"{b}.attn.out_proj.weight"] = rng.randn(W, W).astype(np.float32)
+            sd[f"{b}.attn.out_proj.bias"] = np.zeros(W, np.float32)
+            sd[f"{b}.mlp.c_fc.weight"] = rng.randn(4 * W, W).astype(np.float32)
+            sd[f"{b}.mlp.c_fc.bias"] = np.zeros(4 * W, np.float32)
+            sd[f"{b}.mlp.c_proj.weight"] = rng.randn(W, 4 * W).astype(np.float32)
+            sd[f"{b}.mlp.c_proj.bias"] = np.zeros(W, np.float32)
+
+    loaded = load_clip_torch_weights(params, sd)
+    assert np.allclose(np.asarray(loaded["visual_projection"]), sd["visual.proj"])
+    assert np.allclose(
+        np.asarray(loaded["visual"]["block_0"]["attn"]["qkv"]["kernel"]),
+        sd["visual.transformer.resblocks.0.attn.in_proj_weight"].T,
+    )
+    assert np.allclose(
+        np.asarray(loaded["visual"]["patch_embed"]["kernel"]),
+        sd["visual.conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    # model runs with the loaded weights
+    out = m.apply({"params": loaded}, x, toks, train=False)
+    assert np.isfinite(np.asarray(out["logits_per_image"])).all()
