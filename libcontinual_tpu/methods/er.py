@@ -56,10 +56,64 @@ def reservoir_add(buf: Dict, images, labels, tasks, weight, rng):
     return dict(bx=bx, by=by, bt=bt, n_seen=n_seen)
 
 
+def balanced_add(buf: Dict, images, labels, tasks, weight, rng, num_class: int):
+    """Class-balanced insertion (reference erbuffer.py:86-137): when full,
+    replace a random slot of the currently most-represented class instead of
+    reservoir-evicting uniformly."""
+    cap = buf["by"].shape[0]
+
+    def body(i, carry):
+        bx, by, bt, n_seen, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        filled = jnp.minimum(n_seen, cap)
+        slot_valid = jnp.arange(cap) < filled
+        counts = jnp.sum(
+            jax.nn.one_hot(by, num_class) * slot_valid[:, None].astype(jnp.float32),
+            axis=0,
+        )
+        majority = jnp.argmax(counts)
+        is_major = (by == majority) & slot_valid
+        g = jax.random.gumbel(k1, (cap,))
+        evict = jnp.argmax(jnp.log(is_major.astype(jnp.float32) + 1e-30) + g)
+        place = jnp.where(n_seen < cap, n_seen, evict)
+        do_add = weight[i] > 0
+        idx = jnp.clip(place, 0, cap - 1)
+        bx = jnp.where(do_add, bx.at[idx].set(images[i]), bx)
+        by = jnp.where(do_add, by.at[idx].set(labels[i]), by)
+        bt = jnp.where(do_add, bt.at[idx].set(tasks[i]), bt)
+        n_seen = n_seen + do_add.astype(jnp.int32)
+        del k2
+        return bx, by, bt, n_seen, key
+
+    bx, by, bt, n_seen, _ = jax.lax.fori_loop(
+        0, images.shape[0], body,
+        (buf["bx"], buf["by"], buf["bt"], buf["n_seen"], rng),
+    )
+    return dict(bx=bx, by=by, bt=bt, n_seen=n_seen)
+
+
 def sample_random(buf, rng, amt):
     n = jnp.minimum(buf["n_seen"], buf["by"].shape[0])
     idx = jax.random.randint(rng, (amt,), 0, jnp.maximum(n, 1))
     w = (jnp.arange(amt) < n).astype(jnp.float32)  # zero weight when empty
+    return buf["bx"][idx], buf["by"][idx], w
+
+
+def sample_balanced(buf, rng, amt, num_class: int):
+    """Class-balanced sampling (reference erbuffer.py:175-194): draw classes
+    uniformly over those present, then a random exemplar of each."""
+    cap = buf["by"].shape[0]
+    valid = (jnp.arange(cap) < buf["n_seen"]).astype(jnp.float32)
+    present = jnp.sum(
+        jax.nn.one_hot(buf["by"], num_class) * valid[:, None], axis=0
+    ) > 0
+    k1, k2 = jax.random.split(rng)
+    gc = jax.random.gumbel(k1, (amt, num_class))
+    cls = jnp.argmax(jnp.log(present.astype(jnp.float32)[None] + 1e-30) + gc, axis=1)
+    match = (buf["by"][None, :] == cls[:, None]).astype(jnp.float32) * valid[None, :]
+    gs = jax.random.gumbel(k2, (amt, cap))
+    idx = jnp.argmax(jnp.log(match + 1e-30) + gs, axis=1)
+    w = (jnp.max(match, axis=1) > 0).astype(jnp.float32)
     return buf["bx"][idx], buf["by"][idx], w
 
 
@@ -72,6 +126,9 @@ class _ERBase(Method):
         self.capacity = int(buf_kwargs.get("buffer_size", 1000))
         self.replay_amt = 10  # reference erace.py:63-66
         self.use_augs = bool(self.kwargs.get("use_augs", False))
+        # 'reservoir' (default) or 'balanced' insertion; 'balanced' sampling
+        self.buffer_add = str(buf_kwargs.get("strategy", "reservoir"))
+        self.balanced_sampling = bool(buf_kwargs.get("balanced_sampling", False))
 
     def head_module(self):
         from libcontinual_tpu.models.heads import DistLinear
@@ -108,13 +165,27 @@ class _ERBase(Method):
         state = super().post_update(state, batch, aux)
         rng, sub = jax.random.split(state.rng)
         mvars = dict(state.mvars)
-        mvars["buffer"] = reservoir_add(
-            mvars["buffer"], batch["image"],
-            batch["label"], jnp.full_like(batch["label"], state.task),
-            batch.get("weight", jnp.ones_like(batch["label"], jnp.float32)),
-            sub,
-        )
+        add = balanced_add if self.buffer_add == "balanced" else None
+        if add is not None:
+            mvars["buffer"] = add(
+                mvars["buffer"], batch["image"], batch["label"],
+                jnp.full_like(batch["label"], state.task),
+                batch.get("weight", jnp.ones_like(batch["label"], jnp.float32)),
+                sub, self.num_class,
+            )
+        else:
+            mvars["buffer"] = reservoir_add(
+                mvars["buffer"], batch["image"],
+                batch["label"], jnp.full_like(batch["label"], state.task),
+                batch.get("weight", jnp.ones_like(batch["label"], jnp.float32)),
+                sub,
+            )
         return state.replace(mvars=mvars, rng=rng)
+
+    def sample_replay(self, buf, rng, amt):
+        if self.balanced_sampling:
+            return sample_balanced(buf, rng, amt, self.num_class)
+        return sample_random(buf, rng, amt)
 
     def eval_logits(self, state, x, task_id):
         logits, _, _ = self.forward(
@@ -137,7 +208,7 @@ class ERACE(_ERBase):
 
         # replay CE (10 random buffer samples, plain CE)
         k1, k2 = jax.random.split(rng)
-        rx, ry, rw = sample_random(state.mvars["buffer"], k1, self.replay_amt)
+        rx, ry, rw = self.sample_replay(state.mvars["buffer"], k1, self.replay_amt)
         rx = self.augment(k2, rx, train=True)
         r_logits, _, _ = self.forward(params, state.mvars["model_state"], rx, train=True)
         replay_on = (state.mvars["buffer"]["n_seen"] > 0).astype(jnp.float32)
@@ -151,6 +222,7 @@ class ERAML(_ERBase):
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.temperature = float(self.kwargs.get("supcon_temperature", 0.1))
+        self.use_minimal = bool(self.kwargs.get("use_minimal_selection", False))
 
     def _mine(self, buf, labels, task, rng):
         """Positive from buffer (same class), negative from buffer (same task,
@@ -176,6 +248,22 @@ class ERAML(_ERBase):
         ok = (pos_ok & neg_ok).astype(jnp.float32)
         return pos_idx, neg_idx, ok
 
+    def _mine_minimal(self, images, labels, weight, rng):
+        """Pos/neg from the incoming batch itself (reference
+        erbuffer.py:258-350's forward-pass-minimizing selection)."""
+        b = labels.shape[0]
+        k1, k2 = jax.random.split(rng)
+        valid = weight > 0 if weight is not None else jnp.ones((b,), bool)
+        not_self = ~jnp.eye(b, dtype=bool)
+        same = (labels[:, None] == labels[None, :]) & not_self & valid[None, :]
+        diff = (labels[:, None] != labels[None, :]) & valid[None, :]
+        g1 = jax.random.gumbel(k1, (b, b))
+        g2 = jax.random.gumbel(k2, (b, b))
+        pos_idx = jnp.argmax(jnp.log(same.astype(jnp.float32) + 1e-30) + g1, axis=1)
+        neg_idx = jnp.argmax(jnp.log(diff.astype(jnp.float32) + 1e-30) + g2, axis=1)
+        ok = (jnp.max(same, axis=1) & jnp.max(diff, axis=1)).astype(jnp.float32)
+        return images[pos_idx], labels[pos_idx], images[neg_idx], labels[neg_idx], ok
+
     def loss(self, params, state, batch, rng):
         logits, feats, new_ms = self.forward(
             params, state.mvars["model_state"], batch["x"], train=True
@@ -183,11 +271,24 @@ class ERAML(_ERBase):
         w = batch.get("weight")
         ce = masked_cross_entropy(logits, batch["label"], w, state.seen_mask)
 
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         buf = state.mvars["buffer"]
         pos_idx, neg_idx, ok = self._mine(buf, batch["label"], state.task, k1)
-        px = self.augment(k2, buf["bx"][pos_idx], train=True)
-        nx = self.augment(k3, buf["bx"][neg_idx], train=True)
+        pos_src, pos_y_src = buf["bx"][pos_idx], buf["by"][pos_idx]
+        neg_src, neg_y_src = buf["bx"][neg_idx], buf["by"][neg_idx]
+        if self.use_minimal:
+            # prefer in-batch pairs; fall back to the buffer where invalid
+            mpx, mpy, mnx, mny, mok = self._mine_minimal(
+                batch["image"], batch["label"], w, k4
+            )
+            use = mok[:, None, None, None] > 0
+            pos_src = jnp.where(use, mpx, pos_src)
+            neg_src = jnp.where(use, mnx, neg_src)
+            pos_y_src = jnp.where(mok > 0, mpy, pos_y_src)
+            neg_y_src = jnp.where(mok > 0, mny, neg_y_src)
+            ok = jnp.maximum(ok, mok)
+        px = self.augment(k2, pos_src, train=True)
+        nx = self.augment(k3, neg_src, train=True)
         _, pos_h, _ = self.forward(params, state.mvars["model_state"], px, train=True)
         _, neg_h, _ = self.forward(params, state.mvars["model_state"], nx, train=True)
 
@@ -196,8 +297,8 @@ class ERAML(_ERBase):
 
         anchor = norm(feats)
         pos_h, neg_h = norm(pos_h), norm(neg_h)
-        pos_y = buf["by"][pos_idx]
-        neg_y = buf["by"][neg_idx]
+        pos_y = pos_y_src
+        neg_y = neg_y_src
         if w is not None:
             ok = ok * w
         # SupCon over {pos, neg} contrast set (eraml.py:75-110)

@@ -77,3 +77,13 @@ def test_dap_imbalanced(tiny_config):
     tr, res = run(cfg)
     # long-tailed stream: task sizes unequal
     assert len(set(tr.method._task_counts)) > 1
+
+
+def test_eraml_minimal_selection_and_balanced_buffer(tiny_config):
+    cfg = base_cfg(tiny_config, "ERAML",
+                   {"use_augs": False, "task_free": True,
+                    "supcon_temperature": 0.1, "use_minimal_selection": True})
+    cfg["buffer"]["kwargs"]["strategy"] = "balanced"
+    cfg["buffer"]["kwargs"]["balanced_sampling"] = True
+    tr, res = run(cfg)
+    assert int(tr.state.mvars["buffer"]["n_seen"]) > 0
