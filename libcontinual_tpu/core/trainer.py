@@ -225,11 +225,14 @@ class Trainer:
             idx_d, w_d = self._shard_step_arrays(idx, weights)
 
             t0 = time.perf_counter()
-            ctx = (
-                jax.profiler.trace(self.config.get("save_path") or "/tmp/jax-trace")
-                if profile and epoch_idx == 1
-                else _null_ctx()
-            )
+            ctx = _null_ctx()
+            if profile and epoch_idx == 1:
+                try:  # profiler may be unsupported on experimental platforms
+                    ctx = jax.profiler.trace(
+                        self.config.get("save_path") or "/tmp/jax-trace"
+                    )
+                except Exception as e:  # pragma: no cover
+                    self.log.info("profiler unavailable: %s", e)
             with ctx:
                 if self.epoch_scan:
                     fn = self._get_epoch_fn(tx)

@@ -426,6 +426,7 @@ def _load_npz_into(params: Dict, raw: Dict):
         "vit_inflora",      # reference vit_inflora.py timm fork
         "vit_pt_imnet_dap",  # reference vit_dap.py entry (dap prompts live in the method)
         "ViT_CL_LoRA",      # reference vit.py:206
+        "vit_pt_imnet",     # reference L2P/DualPrompt/CODA config backbone name
     ),
 )
 def vitzoo(**kwargs):

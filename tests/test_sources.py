@@ -1,0 +1,52 @@
+"""Real-data source formats: CIFAR pickle and class-folder trees."""
+
+import os
+import pickle
+
+import numpy as np
+
+from libcontinual_tpu.data.source import load_source
+from libcontinual_tpu.data.continual import build_stream
+
+
+def test_binary_cifar100_pickle(tmp_path):
+    root = tmp_path / "cifar"
+    os.makedirs(root / "cifar-100-python")
+    rng = np.random.RandomState(0)
+    n = 40
+    data = rng.randint(0, 255, (n, 3072), np.uint8)
+    labels = (np.arange(n) % 4).tolist()
+    for split in ("train", "test"):
+        with open(root / "cifar-100-python" / split, "wb") as f:
+            pickle.dump({"data": data, "fine_labels": labels}, f)
+    cfg = {"dataset": "binary_cifar100", "data_root": str(root)}
+    src = load_source(cfg, "train")
+    assert src["images"].shape == (n, 32, 32, 3)
+    assert src["images"].dtype == np.uint8
+    # channel planes decoded in R,G,B order
+    assert (src["images"][0, :, :, 0].ravel() == data[0][:1024]).all()
+    assert src["labels"].max() == 3
+
+
+def test_folder_dataset(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "ds"
+    rng = np.random.RandomState(1)
+    for split in ("train", "test"):
+        for cls in ("apple", "banana"):
+            d = root / split / cls
+            os.makedirs(d)
+            for i in range(6):
+                arr = rng.randint(0, 255, (16, 16, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+    cfg = {
+        "dataset": "myfolder", "data_root": str(root), "task_num": 2,
+        "init_cls_num": 1, "inc_cls_num": 1, "seed": 0,
+        "class_order": [0, 1],
+    }
+    stream, m = build_stream(cfg, "train")
+    assert stream.task(0).images.shape == (6, 16, 16, 3)
+    assert stream.class_names == ["apple", "banana"]
+    test_stream, _ = build_stream(cfg, "test", m)
+    assert len(test_stream.tasks_up_to(1)) == 2
