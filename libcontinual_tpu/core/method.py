@@ -123,6 +123,10 @@ class Method:
         self.test_pipeline = build_transform(
             cfg.get("test_trfms"), mode="test", **common
         )
+        if not cfg.get("augment", True):
+            # reference headers/data.yaml `augment:` flag disables train-time
+            # augmentation (eval transforms everywhere)
+            self.train_pipeline = self.test_pipeline
 
     def _build_optimizers(self):
         cfg = self.config

@@ -75,6 +75,14 @@ class Trainer:
             self.batch_size = _ceil_div(self.batch_size, d) * d
             self.log.info("batch_size rounded to %d for %d-way data sharding",
                           self.batch_size, d)
+        # per-mode batch-size overrides (reference dataloader.py:97-100),
+        # both rounded for even data-axis sharding
+        self.batch_size = _ceil_div(
+            int(config.get("train_batch_size", self.batch_size)), d
+        ) * d
+        self.test_batch_size = _ceil_div(
+            int(config.get("test_batch_size", self.batch_size)), d
+        ) * d
         self.val_per_epoch = int(config.get("val_per_epoch", 1))
         self.setting = config.get("setting", "task-agnostic")
         self.init_epoch = int(config.get("init_epoch", config["epoch"]))
@@ -294,8 +302,9 @@ class Trainer:
 
     def _eval_task_data(self, td: TaskData, task_id: int):
         n = len(td)
-        steps = _ceil_div(n, self.batch_size)
-        total = steps * self.batch_size
+        bs = self.test_batch_size
+        steps = _ceil_div(n, bs)
+        total = steps * bs
         pad = total - n
         idx = np.arange(total) % n  # wrap; padded tail weighs 0
         weights = np.ones(total, np.float32)
@@ -303,8 +312,8 @@ class Trainer:
             weights[n:] = 0.0
         images, labels = self._device_task_data(td)
         idx_d, w_d = self._shard_step_arrays(
-            idx.reshape(steps, self.batch_size).astype(np.int32),
-            weights.reshape(steps, self.batch_size),
+            idx.reshape(steps, bs).astype(np.int32),
+            weights.reshape(steps, bs),
         )
         tid = jnp.asarray(task_id, jnp.int32)
         correct = float(
