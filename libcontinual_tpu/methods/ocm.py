@@ -176,8 +176,8 @@ class OCM(Method):
 
     # ------------------------------------------------------------------ loss
 
-    def _embed(self, params, model_state, x_float):
-        out, new_ms = self.apply_backbone(params, model_state, x_float, train=True)
+    def _embed(self, params, model_state, x_float, train=True):
+        out, new_ms = self.apply_backbone(params, model_state, x_float, train=train)
         f = out["features"]
         proj = f @ params["proj"]["kernel"] + params["proj"]["bias"]
         return f, proj, new_ms
@@ -201,7 +201,7 @@ class OCM(Method):
         extra = None
         if teacher is not None:
             t_f, t_proj, _ = self._embed(
-                teacher, state.mvars["teacher_state"], xr
+                teacher, state.mvars["teacher_state"], xr, train=False
             )
             pre = self._norm(jax.lax.stop_gradient(t_proj))
             sim_pre = simclr[: xr.shape[0]] @ pre.T
