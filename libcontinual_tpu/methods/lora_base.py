@@ -175,17 +175,21 @@ class LoRAViTMethod(Method):
                 for _ in range(self.depth)]
 
         @jax.jit
-        def cov_step(state, images):
+        def cov_step(state, images, weight):
             x = self.augment(None, images, train=False)
             out = self.vit_features(state.params, state.mvars, x, train=False, capture=True)
             return [
-                jnp.einsum("bsd,bse->de", a, a, preferred_element_type=jnp.float32)
+                jnp.einsum(
+                    "bsd,bse->de",
+                    a * weight[:, None, None], a,
+                    preferred_element_type=jnp.float32,
+                )
                 for a in out["attn_inputs"]
             ]
 
         n = 0
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
-            outs = cov_step(state, im)
+            outs = cov_step(state, im, w)
             for i, c in enumerate(outs):
                 covs[i] += np.asarray(c, np.float64)
             n += 1
