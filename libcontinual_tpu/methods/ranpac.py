@@ -7,13 +7,18 @@ Parity with reference core/model/ranpac.py:
   * after every task, features of the task's data pass through a frozen
     random projection ``h = relu(f @ W_rand)`` (M = 10000) and accumulate the
     Gram/label statistics ``G += h h^T``, ``Q += h y^T`` (ranpac.py:218-227);
-  * ridge parameter swept over a log grid by validation MSE
-    (ranpac.py:253-263); classifier ``Wo = (G + lam I)^-1 Q``
-    (ranpac.py:265-266); inference is ``h @ Wo``.
+  * ridge parameter swept over ``10**np.arange(-8, 9)`` by held-out
+    validation MSE on the current task's features: fit on the first 80 %,
+    score MSE on the remaining 20 % (ranpac.py:253-263); classifier
+    ``Wo = (G + lam I)^-1 Q`` with the accumulated stats (ranpac.py:265-266);
+    inference is ``h @ Wo``.
 
 TPU re-design: accumulation is a jitted einsum pass; the M x M solve uses
-``jnp.linalg.solve`` on device; the ridge sweep reuses one Cholesky-sized
-solve per lambda on a held-out split of the accumulated batch features.
+``jnp.linalg.solve`` on device.  The 80/20 sweep never materialises the
+feature matrix: the held-out MSE is closed-form in second-moment statistics,
+``mean((H_ho Wo - Y_ho)^2) = (tr(Wo^T G_ho Wo) - 2 tr(Wo^T Q_ho)
++ ||Y_ho||^2) / (n_ho * C)``, so the pass accumulates (Q_fit, G_fit) and
+(Q_ho, G_ho, ||Y_ho||^2, n_ho) alongside the global (Q, G).
 """
 
 from __future__ import annotations
@@ -25,6 +30,29 @@ import numpy as np
 from libcontinual_tpu.core.method import Method, masked_cross_entropy
 from libcontinual_tpu.methods.common import batch_iter
 from libcontinual_tpu.registry import METHODS
+
+RIDGE_GRID = tuple(10.0**p for p in range(-8, 9))  # reference ranpac.py:253
+
+
+def ridge_sweep(Qf, Gf, Qh, Gh, ysq, n_ho, num_class):
+    """Pick the ridge lambda by held-out MSE (reference ranpac.py:253-263).
+
+    Fits ``Wo = (G_fit + lam I)^-1 Q_fit`` per lambda and scores the held-out
+    split via the closed form
+    ``mean((H_ho Wo - Y_ho)^2) = (tr(Wo^T G_ho Wo) - 2 tr(Wo^T Q_ho)
+    + ||Y_ho||^2) / (n_ho * C)`` — identical to the reference's explicit
+    prediction MSE, without materialising features.  Returns (lam, errs).
+    """
+    eye = jnp.eye(Gf.shape[0], dtype=Gf.dtype)
+
+    @jax.jit
+    def holdout_mse(lam):
+        Wo = jnp.linalg.solve(Gf + lam * eye, Qf)
+        sse = jnp.sum((Gh @ Wo) * Wo) - 2.0 * jnp.sum(Wo * Qh) + ysq
+        return sse / jnp.maximum(n_ho * num_class, 1.0)
+
+    errs = [float(holdout_mse(jnp.float32(lam))) for lam in RIDGE_GRID]
+    return RIDGE_GRID[int(np.argmin(errs))], errs
 
 
 @METHODS.register("RanPAC")
@@ -65,40 +93,57 @@ class RanPAC(Method):
 
     def after_task(self, state, task_idx, task_data):
         bs = int(self.config["batch_size"])
-        Q, G = state.mvars["Q"], state.mvars["G"]
+        M, C = self.M, self.num_class
+        zQ = jnp.zeros((M, C), jnp.float32)
+        zG = jnp.zeros((M, M), jnp.float32)
+        # (Q_fit, G_fit, Q_ho, G_ho, ||Y_ho||^2, n_ho) for the current task
+        carry = (zQ, zG, zQ, zG, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
         @jax.jit
-        def accum(state, Q, G, images, labels, weight):
+        def accum(state, carry, images, labels, weight, offset):
+            Qf, Gf, Qh, Gh, ysq, nh = carry
             x = self.augment(None, images, train=False)
             out, _ = self.apply_backbone(
                 state.params, state.mvars["model_state"], x, train=False
             )
             h = jax.nn.relu(out["features"] @ state.mvars["W_rand"]) * weight[:, None]
-            y = jax.nn.one_hot(labels, self.num_class) * weight[:, None]
-            return Q + h.T @ y, G + h.T @ h
+            y = jax.nn.one_hot(labels, C) * weight[:, None]
+            # 80/20 fit/held-out split by global sample position (the
+            # reference splits the shuffled loader order 80/20,
+            # ranpac.py:254-258 — position-hashing is the same statistics
+            # without materialising the feature matrix)
+            idx = offset + jnp.arange(h.shape[0])
+            hold = ((idx % 5) == 0).astype(jnp.float32) * weight
+            fit = weight - hold
+            hf, yf = h * fit[:, None], y * fit[:, None]
+            hh, yh = h * hold[:, None], y * hold[:, None]
+            return (
+                Qf + hf.T @ yf,
+                Gf + hf.T @ hf,
+                Qh + hh.T @ yh,
+                Gh + hh.T @ hh,
+                ysq + jnp.sum(yh**2),
+                nh + jnp.sum(hold),
+            )
 
+        offset = 0
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
-            Q, G = accum(state, Q, G, im, lb, w)
+            carry = accum(state, carry, im, lb, w, jnp.int32(offset))
+            offset += int(im.shape[0])
 
-        # ridge sweep (reference ranpac.py:253-266) on device
-        lams = jnp.asarray([10.0**p for p in range(-5, 4)], jnp.float32)
+        Qf, Gf, Qh, Gh, ysq, nh = carry
+        Q = state.mvars["Q"] + Qf + Qh
+        G = state.mvars["G"] + Gf + Gh
+
+        best_lam, _ = ridge_sweep(Qf, Gf, Qh, Gh, ysq, nh, C)
 
         @jax.jit
         def solve(lam):
-            return jnp.linalg.solve(G + lam * jnp.eye(self.M), Q)
+            return jnp.linalg.solve(G + lam * jnp.eye(M), Q)
 
-        # pick lambda by reconstruction MSE of Q through G (proxy for the
-        # reference's validation MSE; exact val split can be added per-config)
-        best = None
-        best_err = np.inf
-        for lam in np.asarray(lams):
-            Wo = solve(jnp.float32(lam))
-            err = float(jnp.mean((G @ Wo - Q) ** 2) + lam * 1e-8)
-            if err < best_err:
-                best_err, best = err, Wo
         mvars = dict(state.mvars)
         mvars["Q"], mvars["G"] = Q, G
-        mvars["Wo"] = best
+        mvars["Wo"] = solve(jnp.float32(best_lam))
         mvars["rp_ready"] = jnp.ones((), jnp.float32)
         return state.replace(mvars=mvars)
 

@@ -34,6 +34,36 @@ def test_ranpac(tiny_config):
     assert res["acc_table"][1].mean() > 25.0
 
 
+def test_ranpac_ridge_sweep_picks_interior_lambda():
+    """On an overparameterised noisy fit split the sweep must NOT pick the
+    smallest grid lambda (the round-1 degenerate behavior); it must minimise
+    the held-out MSE, matching reference ranpac.py:253-263."""
+    import jax.numpy as jnp
+
+    from libcontinual_tpu.methods.ranpac import RIDGE_GRID, ridge_sweep
+
+    rng = np.random.RandomState(0)
+    M, C, nf, nh = 64, 4, 48, 200
+    W = rng.randn(M, C) * 0.1
+    Hf, Hh = rng.randn(nf, M), rng.randn(nh, M)
+    Yf = Hf @ W + rng.randn(nf, C) * 2.0  # noisy fit split (nf < M: singular G)
+    Yh = Hh @ W  # clean holdout
+    Qf, Gf = Hf.T @ Yf, Hf.T @ Hf
+    Qh, Gh = Hh.T @ Yh, Hh.T @ Hh
+    lam, errs = ridge_sweep(
+        jnp.asarray(Qf, jnp.float32), jnp.asarray(Gf, jnp.float32),
+        jnp.asarray(Qh, jnp.float32), jnp.asarray(Gh, jnp.float32),
+        jnp.float32((Yh**2).sum()), jnp.float32(nh), C,
+    )
+    assert lam == RIDGE_GRID[int(np.argmin(errs))]
+    assert lam != RIDGE_GRID[0], "sweep degenerated to the smallest lambda"
+    # closed-form holdout MSE == explicit prediction MSE (reference formula)
+    i = RIDGE_GRID.index(lam)
+    Wo = np.linalg.solve(Gf + lam * np.eye(M), Qf)
+    explicit = float(((Hh @ Wo - Yh) ** 2).mean())
+    assert abs(errs[i] - explicit) / max(explicit, 1e-9) < 1e-3
+
+
 def test_dmnsp(tiny_config):
     cfg = cfg_for(tiny_config, "DMNSP", {"lamda_scale": 30.0, "embd_dim": 64})
     tr = Trainer(cfg)
