@@ -225,6 +225,14 @@ class Method:
         (reference trainer.py:421-455)."""
         return state
 
+    def jit_key(self):
+        """Extra component of the trainer's train-step jit-cache key. Methods
+        whose *traced* computation legitimately changes across tasks (e.g.
+        DER's active-prefix extractor slicing) return a per-task value here to
+        force a retrace; the default None keeps one compiled program for the
+        whole task sequence."""
+        return None
+
     def epochs_for_task(self, task_idx: int, default: int) -> int:
         """Per-task epoch override (RanPAC trains only the first session,
         reference ranpac.py:176-180)."""

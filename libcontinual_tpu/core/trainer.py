@@ -150,7 +150,7 @@ class Trainer:
         return self.method.herding_features(state, x)
 
     def _get_epoch_fn(self, tx):
-        key = ("epoch", id(tx))
+        key = ("epoch", id(tx), self.method.jit_key())
         if key not in self._jit_cache:
             method = self.method
 
@@ -172,7 +172,7 @@ class Trainer:
         return self._jit_cache[key]
 
     def _get_step_fn(self, tx):
-        key = ("step", id(tx))
+        key = ("step", id(tx), self.method.jit_key())
         if key not in self._jit_cache:
             method = self.method
 

@@ -10,10 +10,14 @@ Parity with reference core/model/der.py:
 
 TPU re-design (the "per-task parameter growth under jit" hard case,
 SURVEY.md §7): extractors are ONE stacked param pytree with leading dim
-``task_num`` applied via ``jax.vmap`` — all tasks' convnets run as a single
-batched XLA program. An active-task mask zeroes features of not-yet-created
-extractors, and the gradient mask trains only the newest extractor. Shapes
-never change; nothing recompiles across tasks.
+``task_num`` applied via ``jax.vmap`` — the active tasks' convnets run as a
+single batched XLA program.  The TRAIN step slices the stack to the active
+prefix ``[: task_idx + 1]`` at trace time (``jit_key`` forces one retrace per
+task, each cached), so task-t compute scales with t+1 extractors exactly like
+the reference's growing net list (reference der.py:90-134) instead of always
+paying for ``task_num``.  Eval/herding keep the full masked stack (those fns
+are jitted once at trainer init); the gradient mask trains only the newest
+extractor.
 """
 
 from __future__ import annotations
@@ -106,45 +110,54 @@ class DER(Method):
         flat = feats.reshape(feats.shape[0], -1)  # (B, T*D)
         return feats, flat, new_state
 
+    def _n_active(self) -> int:
+        """Trace-time count of created extractors (set by before_task; falls
+        back to the full stack, which is always correct, e.g. pre-resume)."""
+        return int(getattr(self, "_active_count", self.task_num))
+
+    def jit_key(self):
+        return self._n_active()
+
     def loss(self, params, state, batch, rng):
-        feats, flat, new_model_state = self._concat_features(
-            params, state.mvars, batch["x"], train=True
-        )
+        n = self._n_active()
+        # slice the extractor stack to the active prefix — compute scales
+        # with the number of created nets (reference der.py:90-134)
+        bb = jax.tree_util.tree_map(lambda p: p[:n], params["backbone"])
+        bst = jax.tree_util.tree_map(lambda s: s[:n], state.mvars["model_state"])
+        feats, new_model_state = self._stack_apply(bb, bst, batch["x"], train=True)
+        flat = feats.reshape(feats.shape[0], -1)  # (B, n*D)
+        flat = jnp.pad(flat, ((0, 0), (0, (self.task_num - n) * self.feat_dim)))
         logits = self._fc.apply({"params": params["head"]}, flat)
         w = batch.get("weight")
         ce = masked_cross_entropy(logits, batch["label"], w, state.seen_mask)
 
-        # aux loss on the newest extractor's features (der.py:119-129)
-        cur_feats = jnp.take_along_axis(
-            feats, state.task[None, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
-        aux_logits = self._aux.apply({"params": params["aux"]}, cur_feats)
-        known = jnp.sum(state.prev_mask).astype(jnp.int32)
-        aux_t = jnp.maximum(batch["label"] - known + 1, 0)
-        aux_ce = masked_cross_entropy(aux_logits, aux_t, w)
-        loss = ce + jnp.where(state.task > 0, aux_ce, 0.0)
+        loss = ce
+        if n > 1:
+            # aux loss on the newest extractor's features (der.py:119-129)
+            cur_feats = feats[:, n - 1, :]
+            aux_logits = self._aux.apply({"params": params["aux"]}, cur_feats)
+            known = jnp.sum(state.prev_mask).astype(jnp.int32)
+            aux_t = jnp.maximum(batch["label"] - known + 1, 0)
+            loss = ce + masked_cross_entropy(aux_logits, aux_t, w)
         return loss, {"logits": logits, "model_state": new_model_state}
 
     def post_update(self, state, batch, aux):
         if "model_state" in aux:
+            n = self._n_active()
             mvars = dict(state.mvars)
-            # only the active extractor's batch stats may advance
-            act = state.mvars["active"]
-            onehot = (jnp.arange(self.task_num) == state.task).astype(jnp.float32)
-
-            def sel(new, old):
-                b = onehot.reshape((-1,) + (1,) * (new.ndim - 1))
-                return new * b + old * (1 - b)
-
+            # only the newest extractor's batch stats may advance; the update
+            # carries the sliced prefix, scattered back into the full stack
             mvars["model_state"] = jax.tree_util.tree_map(
-                sel, aux["model_state"], state.mvars["model_state"]
+                lambda new, old: old.at[n - 1].set(new[n - 1]),
+                aux["model_state"], state.mvars["model_state"],
             )
-            del act
             state = state.replace(mvars=mvars)
         return state
 
     def transform_grads(self, grads, state):
-        onehot = (jnp.arange(self.task_num) == state.task).astype(jnp.float32)
+        onehot = (
+            jnp.arange(self.task_num) == (self._n_active() - 1)
+        ).astype(jnp.float32)
         grads = dict(grads)
         grads["backbone"] = jax.tree_util.tree_map(
             lambda g: g * onehot.reshape((-1,) + (1,) * (g.ndim - 1)),
@@ -155,6 +168,7 @@ class DER(Method):
     # ------------------------------------------------------------- hooks
 
     def before_task(self, state, task_idx, task_data):
+        self._active_count = task_idx + 1
         mvars = dict(state.mvars)
         mvars["active"] = (
             jnp.arange(self.task_num) < task_idx + 1

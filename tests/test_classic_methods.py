@@ -93,6 +93,12 @@ def test_der(tiny_config):
     cfg = make_cfg(tiny_config, "DER", buffer_size=32)
     tr, res = run(cfg)
     assert np.asarray(tr.state.mvars["active"]).sum() == 2
+    # active-prefix slicing: the traced train program differs per task
+    # (task-0 step runs ONE extractor, not task_num), so the trainer must
+    # hold one compiled epoch fn per active-count
+    assert tr.method.jit_key() == 2
+    epoch_keys = [k for k in tr._jit_cache if k[0] == "epoch"]
+    assert len(epoch_keys) == 2
 
 
 def test_bic(tiny_config):
