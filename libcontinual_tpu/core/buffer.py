@@ -8,11 +8,13 @@ and the whole thing moves to device once — replay then happens through the
 same in-graph gather path as ordinary batches.
 
 Update strategies (reference core/model/buffer/update.py:7-80):
-  * ``random``: per-class random subsample to the per-class quota;
+  * ``random``: uniform random subsample of (task data + old buffer) down to
+    ``buffer_size`` (reference update.py:7-16 — no per-class quota);
   * ``herding``: iCaRL greedy mean-feature selection, run on device as a
     ``lax.fori_loop`` over the candidate set (the argmin chain is inherently
     sequential) using features from the method's backbone;
-  * ``equal_random`` / ``balance_random``: class-balanced random quota.
+  * ``equal_random`` / ``balance_random``: class-balanced random quota
+    (old exemplars re-subsampled at random, not by insertion order).
 
 Online reservoir slabs (OCM's OnlineBuffer / ER's ERBuffer,
 reference buffer/onlinebuffer.py, buffer/erbuffer.py) are *device-resident
@@ -108,16 +110,21 @@ class LinearBuffer:
     def _quota(self) -> int:
         return self.buffer_size // max(self.total_classes, 1)
 
-    def _shrink_old(self, per_cls: int):
-        """Subsample existing exemplars to the new per-class quota
-        (reference linearherdingbuffer.py:55-76: keeps the first ``per_cls``
-        per class — herding order makes prefixes the best exemplars)."""
+    def _shrink_old(self, per_cls: int, rng: Optional[np.random.RandomState] = None):
+        """Subsample existing exemplars to the new per-class quota.  With
+        ``rng`` None, keeps the first ``per_cls`` per class (reference
+        linearherdingbuffer.py:55-76 — herding order makes prefixes the best
+        exemplars); with an rng, subsamples each class at random (the right
+        semantics for random-quota strategies, where insertion order carries
+        no ranking)."""
         if self.labels is None:
             return
         keep = []
         for c in np.unique(self.labels):
-            idx = np.nonzero(self.labels == c)[0][:per_cls]
-            keep.append(idx)
+            idx = np.nonzero(self.labels == c)[0]
+            if rng is not None:
+                idx = rng.permutation(idx)
+            keep.append(idx[:per_cls])
         keep = np.concatenate(keep)
         self.images, self.labels = self.images[keep], self.labels[keep]
 
@@ -145,21 +152,24 @@ class LinearBuffer:
         rng = np.random.RandomState(seed)
         per_cls = self._quota()
         if self.strategy in ("equal_random", "balance_random"):
-            self._shrink_old(per_cls)
+            self._shrink_old(per_cls, rng)
             for c in range(task_data.class_lo, task_data.class_hi):
                 sel = np.nonzero(task_data.labels == c)[0]
                 rng.shuffle(sel)
                 pick = sel[:per_cls]
                 self._append(task_data.images[pick], task_data.labels[pick])
         else:
-            # reference update.py:7-16: subsample old buffer and new data
-            # each to half... actually: random_update keeps a random
-            # buffer_size-total mix: keep quota per class for old + new.
-            self._shrink_old(per_cls)
-            for c in range(task_data.class_lo, task_data.class_hi):
-                sel = np.nonzero(task_data.labels == c)[0]
-                rng.shuffle(sel)
-                self._append(task_data.images[sel[:per_cls]], task_data.labels[sel[:per_cls]])
+            # reference update.py:7-16 exactly: uniform random subsample of
+            # (task data + old buffer) down to buffer_size — no per-class
+            # quota, no prefix-keeping
+            if self.labels is None:
+                pool_im, pool_lb = task_data.images, task_data.labels
+            else:
+                pool_im = np.concatenate([task_data.images, self.images])
+                pool_lb = np.concatenate([task_data.labels, self.labels])
+            perm = rng.permutation(len(pool_lb))[: self.buffer_size]
+            self.images = pool_im[perm].copy()
+            self.labels = pool_lb[perm].copy()
 
 
 class LinearSpiltBuffer(LinearBuffer):

@@ -44,6 +44,35 @@ def test_linear_buffer_quota_and_shrink():
         assert (buf.labels == c).sum() == 2
 
 
+def test_random_update_uniform_subsample():
+    """`random` = uniform subsample of (task data + old buffer) to
+    buffer_size (reference buffer/update.py:7-16): class counts follow the
+    pool's proportions statistically, NOT a per-class quota, and old
+    exemplars are not kept by insertion-order prefix."""
+    B = 60
+    counts = np.zeros(6)
+    for seed in range(30):
+        buf = LinearBuffer(buffer_size=B, strategy="random")
+        buf.total_classes = 2
+        # task 0: classes 0,1 with 100 images each
+        imgs0 = np.zeros((200, 2, 2, 3), np.uint8)
+        lbl0 = np.repeat(np.arange(2), 100).astype(np.int32)
+        buf.update(TaskData(imgs0, lbl0, 0, 2), seed=seed)
+        assert len(buf) == B
+        # task 1: classes 2..5 with 300 images each (pool 1200 + buffer 60)
+        buf.total_classes = 6
+        imgs1 = np.zeros((1200, 2, 2, 3), np.uint8)
+        lbl1 = (2 + np.repeat(np.arange(4), 300)).astype(np.int32)
+        buf.update(TaskData(imgs1, lbl1, 2, 6), seed=100 + seed)
+        assert len(buf) == B
+        for c in range(6):
+            counts[c] += (buf.labels == c).sum()
+    counts /= 30
+    # expected: old classes ~ B*(30/1260) ≈ 1.43 each, new ~ B*(300/1260) ≈ 14.3
+    assert counts[:2].mean() < 4, counts
+    assert abs(counts[2:].mean() - 60 * 300 / 1260) < 3, counts
+
+
 def test_reservoir_uniformity():
     from libcontinual_tpu.methods.er import reservoir_add
 
