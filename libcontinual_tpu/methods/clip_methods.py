@@ -11,9 +11,12 @@ backbone/transformer.py:27-127, 1461-1658):
 RAPF (reference core/model/rapf.py): frozen CLIP + a linear adapter over
 image features trained contrastively against class-name text features;
 near-class feature interpolation during training; after each task, per-class
-Gaussian statistics (shrunk covariance) are recorded and old-class features
-are replayed from them; SVD-based parameter fusion stabilizes the adapter
-(rapf.py:36-44, 268-...).
+full-covariance Gaussian statistics are recorded (cov + 1e-4 I,
+rapf.py:198-211, optionally shrunk per rapf.py:26-36) and old-class features
+are replayed by Cholesky sampling (rapf.py:37-44), a few round-robin classes
+per batch (rapf.py:305-321); post-task SVD parameter fusion re-expresses the
+new adapter in the old adapter's left-singular basis and blends by
+normalized drift + mix_bias (``mix_matrix``, rapf.py:212-226).
 """
 
 from __future__ import annotations
@@ -152,14 +155,43 @@ class MoEAdapter4CL(CLIPMethod):
         return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
 
 
+def shrink_cov(cov: np.ndarray) -> np.ndarray:
+    """Covariance shrinkage (reference rapf.py:26-36): add the mean diagonal
+    to the diagonal and the mean off-diagonal to the off-diagonal."""
+    d = cov.shape[0]
+    diag_mean = float(np.mean(np.diagonal(cov)))
+    off = cov.copy()
+    np.fill_diagonal(off, 0.0)
+    mask = off != 0.0
+    off_mean = float(off[mask].sum() / max(mask.sum(), 1))
+    iden = np.eye(d)
+    return cov + diag_mean * iden + off_mean * (1.0 - iden)
+
+
+def mix_matrix(W_old: np.ndarray, W_new: np.ndarray, mix_bias: float) -> np.ndarray:
+    """Reference RAPF parameter fusion (rapf.py:212-226), torch weight layout
+    (out, in): express W_new in W_old's left-singular basis, blend each
+    coefficient toward the old one by (1 - normalized drift - mix_bias)."""
+    U, S, Vt = np.linalg.svd(W_old, full_matrices=False)
+    P_new = U.T @ W_new
+    SV = np.diag(S) @ Vt
+    drift = np.abs(P_new - SV)
+    mask = np.minimum(drift / max(drift.max(), 1e-12) + mix_bias, 1.0)
+    return U @ (P_new * mask + SV * (1.0 - mask))
+
+
 @METHODS.register("RAPF")
 class RAPF(CLIPMethod):
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.embed_dim = int(self.kwargs.get("embed_dim", 512))
-        self.shrink = float(self.kwargs.get("shrink", 1.0))
-        self.replay_bs = int(self.kwargs.get("replay_batch", 32))
+        self.beta = float(self.kwargs.get("beta", 2.0))
+        self.shrinkage = bool(self.kwargs.get("shrinkage", False))
+        self.mix_bias = float(self.kwargs.get("mix_bias", 0.6))
         self.neighbor_mix = float(self.kwargs.get("neighbor_mix", 0.2))
+        # classes replayed per batch (reference rapf.py:311-315)
+        self.replay_cpb = 4 if self.inc_cls_num == 5 else 2
+        self.replay_per_cls = int(10 * self.beta)
 
     def init_state(self, rng, sample_input_hw):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -181,8 +213,18 @@ class RAPF(CLIPMethod):
                 "frozen": clip_params,
                 "text_feats": jnp.zeros((self.num_class, d), jnp.float32),
                 "cls_mean": jnp.zeros((self.num_class, d), jnp.float32),
-                "cls_var": jnp.ones((self.num_class, d), jnp.float32),
+                # Cholesky factors of the (optionally shrunk) per-class
+                # covariances (reference rapf.py:37-44 samples vec @ chol.T);
+                # identity init = unit-Gaussian prior (never sampled before
+                # cls_valid flips, but keeps replay features non-degenerate —
+                # a zero vector would NaN the normalization gradient)
+                "cls_chol": jnp.broadcast_to(
+                    jnp.eye(d, dtype=jnp.float32), (self.num_class, d, d)
+                ),
                 "cls_valid": jnp.zeros((self.num_class,), jnp.float32),
+                # round-robin replay order over old classes (rapf.py:266-269)
+                "replay_order": jnp.zeros((self.num_class,), jnp.int32),
+                "replay_len": jnp.ones((), jnp.int32),
                 "old_adapter": {
                     "kernel": jnp.eye(d, dtype=jnp.float32),
                     "bias": jnp.zeros((d,), jnp.float32),
@@ -210,6 +252,14 @@ class RAPF(CLIPMethod):
 
         mvars = dict(state.mvars)
         mvars["text_feats"] = text_feats(state.mvars["frozen"], toks)
+        if task_idx > 0:
+            # shuffled old-class list for round-robin replay (rapf.py:266-269)
+            n_old = self.init_cls_num + (task_idx - 1) * self.inc_cls_num
+            rng = np.random.RandomState(int(self.config.get("seed", 0)) + task_idx)
+            order = rng.permutation(n_old)
+            pad = np.resize(order, self.num_class)  # cycle-pad to fixed shape
+            mvars["replay_order"] = jnp.asarray(pad.astype(np.int32))
+            mvars["replay_len"] = jnp.asarray(n_old, jnp.int32)
         return state.replace(mvars=mvars)
 
     def _image_feats(self, mvars, x):
@@ -240,17 +290,24 @@ class RAPF(CLIPMethod):
         logits = scale * g @ tf.T
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), state.seen_mask)
 
-        # Gaussian replay of old classes (rapf.py:36-44)
-        old_valid = state.mvars["cls_valid"] * state.prev_mask
-        gmb = jax.random.gumbel(k1, (self.replay_bs, self.num_class))
-        cls = jnp.argmax(jnp.log(old_valid[None, :] + 1e-30) + gmb, axis=1)
-        noise = jax.random.normal(k2, (self.replay_bs, self.embed_dim))
-        rf = state.mvars["cls_mean"][cls] + noise * jnp.sqrt(
-            state.mvars["cls_var"][cls] * self.shrink
+        # Gaussian replay of old classes: a few round-robin classes per batch,
+        # sampled from the full-covariance Gaussian via its Cholesky factor
+        # (reference rapf.py:305-321, 37-44)
+        cpb, n_per = self.replay_cpb, self.replay_per_cls
+        slot = state.step * cpb + jnp.arange(cpb)
+        pos = jnp.mod(slot, jnp.maximum(state.mvars["replay_len"], 1))
+        cls = state.mvars["replay_order"][pos]  # (cpb,)
+        noise = jax.random.normal(k2, (cpb, n_per, self.embed_dim))
+        L = state.mvars["cls_chol"][cls]  # (cpb, d, d) lower factors
+        rf = state.mvars["cls_mean"][cls][:, None, :] + jnp.einsum(
+            "cnd,ced->cne", noise, L
         )
+        rf = rf.reshape(cpb * n_per, self.embed_dim)
+        r_targets = jnp.repeat(cls, n_per, total_repeat_length=cpb * n_per)
         rg = self._adapted(params, rf)
         r_logits = scale * rg @ tf.T
-        r_ce = masked_cross_entropy(r_logits, cls, None, state.seen_mask)
+        r_ce = masked_cross_entropy(r_logits, r_targets, None, state.seen_mask)
+        old_valid = state.mvars["cls_valid"] * state.prev_mask
         on = jnp.where((state.task > 0) & (jnp.sum(old_valid) > 0), 1.0, 0.0)
         loss = ce + on * r_ce
         masked = jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
@@ -259,7 +316,7 @@ class RAPF(CLIPMethod):
     def after_task(self, state, task_idx, task_data):
         bs = int(self.config["batch_size"])
         mean = np.array(state.mvars["cls_mean"])
-        var = np.array(state.mvars["cls_var"])
+        chol = np.array(state.mvars["cls_chol"])
         valid = np.array(state.mvars["cls_valid"])
         feats_all, labels_all = [], []
 
@@ -273,31 +330,37 @@ class RAPF(CLIPMethod):
             keep = np.asarray(w) > 0
             feats_all.append(fl[keep])
             labels_all.append(np.asarray(lb)[keep])
-        feats = np.concatenate(feats_all)
+        feats = np.concatenate(feats_all).astype(np.float64)
         labels = np.concatenate(labels_all)
+        d = feats.shape[1]
         for c in np.unique(labels):
             fc = feats[labels == c]
             mean[c] = fc.mean(0)
-            var[c] = fc.var(0) + 1e-6
+            # full covariance + 1e-4 I (reference rapf.py:205), optionally
+            # shrunk (rapf.py:26-36 when `shrinkage`), stored as its Cholesky
+            # factor so the in-graph sampler is a single matmul
+            cov = np.cov(fc.T) + 1e-4 * np.eye(d) if len(fc) > 1 else 1e-4 * np.eye(d)
+            if self.shrinkage:
+                cov = shrink_cov(cov)
+            chol[c] = np.linalg.cholesky(cov).astype(np.float32)
             valid[c] = 1.0
 
-        # SVD parameter fusion: project the adapter update onto the principal
-        # subspace of the previous adapter (rapf.py:268-...)
+        # SVD parameter fusion (reference mix_matrix, rapf.py:212-226):
+        # express the new adapter in the old adapter's left-singular basis,
+        # blend each coefficient by its normalized drift + mix_bias
         if task_idx > 0:
-            W_old = np.array(state.mvars["old_adapter"]["kernel"])
-            W_new = np.array(state.params["adapter"]["kernel"])
-            u, s, vt = np.linalg.svd(W_old)
-            k = int(np.sum(np.cumsum(s**2) / np.sum(s**2) < 0.99)) or 1
-            P = u[:, :k] @ u[:, :k].T
-            fused = W_old + P @ (W_new - W_old) * 0.5 + (W_new - W_old) * 0.5
+            # torch Linear weight (out,in) == our kernel transposed
+            W_old = np.array(state.mvars["old_adapter"]["kernel"]).T
+            W_new = np.array(state.params["adapter"]["kernel"]).T
+            fused = mix_matrix(W_old, W_new, self.mix_bias)
             params = jax.tree_util.tree_map(lambda x: x, state.params)
             params["adapter"] = dict(params["adapter"])
-            params["adapter"]["kernel"] = jnp.asarray(fused.astype(np.float32))
+            params["adapter"]["kernel"] = jnp.asarray(fused.T.astype(np.float32))
             state = state.replace(params=params)
 
         mvars = dict(state.mvars)
-        mvars["cls_mean"] = jnp.asarray(mean)
-        mvars["cls_var"] = jnp.asarray(var)
+        mvars["cls_mean"] = jnp.asarray(mean.astype(np.float32))
+        mvars["cls_chol"] = jnp.asarray(chol.astype(np.float32))
         mvars["cls_valid"] = jnp.asarray(valid)
         mvars["old_adapter"] = copy_tree(state.params["adapter"])
         return state.replace(mvars=mvars)

@@ -45,7 +45,7 @@ def test_moe_adapter4cl(tiny_config):
 
 
 def test_rapf(tiny_config):
-    cfg = clip_cfg(tiny_config, "RAPF", {"replay_batch": 8})
+    cfg = clip_cfg(tiny_config, "RAPF", {"beta": 0.5})
     tr = Trainer(cfg)
     res = tr.train_loop()
     assert np.isfinite(res["acc_table"]).all()
@@ -53,6 +53,52 @@ def test_rapf(tiny_config):
     # adapter moved from identity
     k = np.asarray(tr.state.params["adapter"]["kernel"])
     assert not np.allclose(k, np.eye(k.shape[0]))
+    # per-class Cholesky factors are lower-triangular with positive diagonal
+    L = np.asarray(tr.state.mvars["cls_chol"][0])
+    assert np.allclose(L, np.tril(L))
+    assert (np.diag(L) > 0).all()
+
+
+def test_rapf_shrink_cov_and_sampling():
+    """shrink_cov matches reference rapf.py:26-36; Cholesky sampling
+    reproduces the full covariance (not just its diagonal)."""
+    from libcontinual_tpu.methods.clip_methods import shrink_cov
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(4, 4)
+    cov = A @ A.T + 0.1 * np.eye(4)
+    sc = shrink_cov(cov.copy())
+    off = cov.copy()
+    np.fill_diagonal(off, 0.0)
+    exp = cov + np.mean(np.diag(cov)) * np.eye(4) + (
+        off.sum() / (off != 0).sum()
+    ) * (1 - np.eye(4))
+    assert np.allclose(sc, exp)
+    # sampling: z @ L^T + mu has covariance cov
+    L = np.linalg.cholesky(cov)
+    z = rng.randn(200000, 4)
+    s = z @ L.T
+    emp = np.cov(s.T)
+    assert np.abs(emp - cov).max() < 0.15
+
+
+def test_rapf_mix_matrix_rule():
+    """Fusion follows reference mix_matrix (rapf.py:212-226)."""
+    from libcontinual_tpu.methods.clip_methods import mix_matrix
+
+    rng = np.random.RandomState(1)
+    W_old = rng.randn(6, 6)
+    # no drift -> fused equals the old weight exactly
+    assert np.allclose(mix_matrix(W_old, W_old.copy(), 0.6), W_old, atol=1e-8)
+    # mix_bias = 1 -> mask saturates everywhere -> fused equals the NEW weight
+    W_new = W_old + rng.randn(6, 6)
+    assert np.allclose(mix_matrix(W_old, W_new, 1.0), W_new, atol=1e-8)
+    # intermediate bias -> fused strictly between old and new in the U basis
+    fused = mix_matrix(W_old, W_new, 0.3)
+    U, S, Vt = np.linalg.svd(W_old, full_matrices=False)
+    P_f, P_o, P_n = U.T @ fused, np.diag(S) @ Vt, U.T @ W_new
+    lo, hi = np.minimum(P_o, P_n) - 1e-9, np.maximum(P_o, P_n) + 1e-9
+    assert ((P_f >= lo) & (P_f <= hi)).all()
 
 
 def test_dmnsp_clip(tiny_config):
