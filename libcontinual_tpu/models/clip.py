@@ -170,12 +170,9 @@ def load_clip_torch_weights(params, source) -> dict:
 
         if not os.path.exists(source):
             raise FileNotFoundError(source)
-        import torch
+        from libcontinual_tpu.utils.torch_pickle import load_torch_state_dict
 
-        sd = torch.load(source, map_location="cpu")
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
-        sd = {k: v.detach().numpy() for k, v in sd.items()}
+        sd = load_torch_state_dict(source)
     else:
         sd = {k: np.asarray(v) for k, v in source.items()}
 

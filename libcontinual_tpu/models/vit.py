@@ -355,10 +355,11 @@ def maybe_load_pretrained(vit_params: Dict, config: Dict) -> Dict:
 
 
 def load_timm_weights(params: Dict, path: str) -> Dict:
-    """Load a timm ViT-B/16 checkpoint (.npz of jax-format weights, or a
-    torch state-dict via numpy) into our param tree, gated on file existence
-    (capability parity with reference vit.py:63-84's key remap; no network
-    access assumed)."""
+    """Load a timm ViT-B/16 checkpoint into our param tree, gated on file
+    existence (capability parity with reference vit.py:63-84's key remap; no
+    network access assumed). Accepts ``.npz`` (jax-format augreg weights) or
+    a torch ``.pth``/``.pt``/``.bin`` state dict, read without torch via
+    ``utils.torch_pickle``."""
     import os
 
     if not os.path.exists(path):
@@ -367,8 +368,50 @@ def load_timm_weights(params: Dict, path: str) -> Dict:
     if path.endswith(".npz"):
         raw = dict(np.load(path, allow_pickle=False))
         _load_npz_into(params, raw)
-        return jax.tree_util.tree_map(jnp.asarray, params)
-    raise ValueError(f"unsupported checkpoint format: {path}")
+    else:
+        from libcontinual_tpu.utils.torch_pickle import load_torch_state_dict
+
+        _load_timm_torch_into(params, load_torch_state_dict(path))
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def _load_timm_torch_into(params: Dict, sd: Dict):
+    """Map timm torch state-dict names (blocks.i.norm1/attn.qkv/mlp.fc1...)
+    into ours — the remap the reference does at vit.py:69-84 plus the
+    torch->flax layout transposes."""
+    def put(dst, key, value):
+        if key in dst and dst[key].shape == value.shape:
+            dst[key] = value.astype(dst[key].dtype)
+
+    if "patch_embed.proj.weight" in sd:
+        put(params["patch_embed"], "kernel",
+            sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+        put(params["patch_embed"], "bias", sd["patch_embed.proj.bias"])
+    if "cls_token" in sd:
+        put(params, "cls_token", sd["cls_token"])
+    if "pos_embed" in sd:
+        put(params, "pos_embed", sd["pos_embed"])
+    if "norm.weight" in sd:
+        put(params["norm"], "scale", sd["norm.weight"])
+        put(params["norm"], "bias", sd["norm.bias"])
+    depth = len([k for k in params if k.startswith("block_")])
+    for i in range(depth):
+        b = f"blocks.{i}"
+        if f"{b}.norm1.weight" not in sd:
+            continue
+        p = params[f"block_{i}"]
+        put(p["ln_1"], "scale", sd[f"{b}.norm1.weight"])
+        put(p["ln_1"], "bias", sd[f"{b}.norm1.bias"])
+        put(p["ln_2"], "scale", sd[f"{b}.norm2.weight"])
+        put(p["ln_2"], "bias", sd[f"{b}.norm2.bias"])
+        put(p["attn"]["qkv"], "kernel", sd[f"{b}.attn.qkv.weight"].T)
+        put(p["attn"]["qkv"], "bias", sd[f"{b}.attn.qkv.bias"])
+        put(p["attn"]["proj"], "kernel", sd[f"{b}.attn.proj.weight"].T)
+        put(p["attn"]["proj"], "bias", sd[f"{b}.attn.proj.bias"])
+        put(p["mlp"]["fc1"], "kernel", sd[f"{b}.mlp.fc1.weight"].T)
+        put(p["mlp"]["fc1"], "bias", sd[f"{b}.mlp.fc1.bias"])
+        put(p["mlp"]["fc2"], "kernel", sd[f"{b}.mlp.fc2.weight"].T)
+        put(p["mlp"]["fc2"], "bias", sd[f"{b}.mlp.fc2.bias"])
 
 
 def _load_npz_into(params: Dict, raw: Dict):
