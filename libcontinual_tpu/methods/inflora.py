@@ -141,7 +141,6 @@ class InfLoRA(LoRAViTMethod):
         return state
 
 
-@METHODS.register("InfLoRA_OPT", aliases=("InfLoRAb5", "InfLoRA_opt"))
 class InfLoRAOPT(InfLoRA):
     """InfLoRA + Gaussian feature statistics & compact classifier retraining
     (reference InfLoRA_opt.py:291-457)."""
@@ -214,3 +213,124 @@ class InfLoRAOPT(InfLoRA):
         params = jax.tree_util.tree_map(lambda x: x, state.params)
         params["head"] = {"Dense_0": dict(head)}
         return state.replace(params=params)
+
+
+class InfLoRAOPTCLIP(InfLoRA):
+    """InfLoRA_OPT on CLIP (reference config/InfLoRA_opt_clip.yaml:53-57 runs
+    InfLoRAb5 with ``backbone: clip``, ``visual_only: True``): the stacked
+    LoRA deltas are injected into the CLIP *visual* tower's qkv projections
+    (the unified ViTBlock consumes them identically in both towers);
+    classification is image-text contrast against class-name prompts
+    (reference InfLoRA_opt.py:123-137); only the current task's B factors
+    train (InfLoRA_opt.py:229-242); DualGPM bookkeeping runs on the visual
+    attention inputs. Text features are computed once per task through the
+    frozen text tower — with ``visual_only`` the reference recomputes the same
+    values every step (InfLoRA_opt.py:131-135)."""
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx)
+        self.embed_dim = int(getattr(self.backbone, "vision_width", self.embed_dim))
+        self.depth = int(getattr(self.backbone, "vision_depth", self.depth))
+        self.visual_only = bool(self.kwargs.get("visual_only", True))
+        if not self.visual_only:
+            raise NotImplementedError(
+                "InfLoRA_OPT on CLIP supports visual_only: true (the published "
+                "configuration); text-tower LoRA is not wired"
+            )
+        self.prompt_template = self.kwargs.get(
+            "prompt_template", "a bad photo of a {}."
+        )
+        self.class_names: List[str] = []
+
+    def head_module(self):
+        return None
+
+    def init_state(self, rng, sample_input_hw):
+        import os
+
+        from libcontinual_tpu.core.state import TrainState, make_masks
+        from libcontinual_tpu.models.clip import load_clip_torch_weights
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        dummy = self.model_input(sample_input_hw)
+        toks = jnp.zeros((2, 77), jnp.int32)
+        clip_params = self.backbone.init(k1, dummy, toks, train=False)["params"]
+        path = ((self.config.get("backbone") or {}).get("kwargs") or {}).get(
+            "pretrained_path"
+        )
+        if path and os.path.exists(path):
+            clip_params = load_clip_torch_weights(clip_params, path)
+        params = {"lora": self.init_lora_params(k2)}
+        seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
+        mvars = {
+            "model_state": {},
+            "frozen": clip_params,
+            "active": jnp.zeros((self.task_num,), jnp.float32).at[0].set(1.0),
+            "train_onehot": jnp.zeros((self.task_num,), jnp.float32).at[0].set(1.0),
+            "text_feats": jnp.zeros((self.num_class, self.backbone.embed_dim), jnp.float32),
+        }
+        return TrainState(
+            params=params,
+            opt_state=self._tx_for_task(0).init(params),
+            mvars=mvars,
+            rng=k3,
+            step=jnp.zeros((), jnp.int32),
+            task=jnp.zeros((), jnp.int32),
+            seen_mask=seen,
+            prev_mask=prev,
+        )
+
+    def _class_tokens(self):
+        from libcontinual_tpu.models.tokenizer import tokenize
+
+        names = [
+            self.class_names[c]
+            if c < len(self.class_names) and self.class_names[c]
+            else f"class {c}"
+            for c in range(self.num_class)
+        ]
+        return jnp.asarray(tokenize([self.prompt_template.format(n) for n in names]))
+
+    def before_task(self, state, task_idx, task_data):
+        toks = self._class_tokens()
+
+        @jax.jit
+        def text_feats(frozen, toks):
+            f, _ = self.backbone.apply(
+                {"params": frozen},
+                method=lambda m, t: m.encode_text(t, train=False),
+                t=toks,
+            )
+            return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+
+        mvars = dict(state.mvars)
+        mvars["text_feats"] = text_feats(state.mvars["frozen"], toks)
+        state = state.replace(mvars=mvars)
+        return super().before_task(state, task_idx, task_data)
+
+    def vit_features(self, params, mvars, x, train, capture=False):
+        deltas = self.qkv_deltas(params["lora"], mvars["active"])
+        feats, v_out = self.backbone.apply(
+            {"params": mvars["frozen"]},
+            method=lambda m, im, **kw: m.encode_image(im, **kw),
+            im=x, train=train, qkv_deltas=deltas, capture=capture,
+        )
+        out = dict(v_out)
+        out["features"] = feats  # projected into the shared embedding space
+        return out
+
+    def forward_logits(self, params, state, x, train):
+        out = self.vit_features(params, state.mvars, x, train)
+        f = out["features"]
+        f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+        scale = jnp.exp(state.mvars["frozen"]["logit_scale"].astype(jnp.float32))
+        return scale * f @ state.mvars["text_feats"].T
+
+
+@METHODS.register("InfLoRA_OPT", aliases=("InfLoRAb5", "InfLoRA_opt"))
+def make_inflora_opt(config, mesh_ctx=None):
+    """Backbone dispatch (reference InfLoRA_opt.py:60-66 branches on
+    ``isinstance(backbone, CLIP)``)."""
+    if "clip" in str(config["backbone"]["name"]).lower():
+        return InfLoRAOPTCLIP(config, mesh_ctx)
+    return InfLoRAOPT(config, mesh_ctx)

@@ -101,6 +101,25 @@ def test_rapf_mix_matrix_rule():
     assert ((P_f >= lo) & (P_f <= hi)).all()
 
 
+def test_inflora_opt_on_clip(tiny_config):
+    """InfLoRA_OPT dispatches to the CLIP variant when backbone is clip
+    (reference config/InfLoRA_opt_clip.yaml:53-57) and learns task 0."""
+    cfg = clip_cfg(tiny_config, "InfLoRA_OPT",
+                   {"lame": 1.0, "lamb": 0.95, "rank": 4, "visual_only": True})
+    tr = Trainer(cfg)
+    from libcontinual_tpu.methods.inflora import InfLoRAOPTCLIP
+
+    assert isinstance(tr.method, InfLoRAOPTCLIP)
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    # current-task LoRA B factors trained; A set by SVD (non-zero)
+    lora = tr.state.params["lora"]
+    assert float(np.abs(np.asarray(lora["B_k"][:, 1])).sum()) > 0
+    assert float(np.abs(np.asarray(lora["A_k"][:, 0])).sum()) > 0
+    # learned something on task 0 (8-class tiny synthetic data)
+    assert res["acc_table"][0, 0] > 25.0
+
+
 def test_dmnsp_clip(tiny_config):
     cfg = clip_cfg(tiny_config, "DMNSP_CLIP", {"lamda_scale": 30.0},
                    backbone_kwargs={"adapter_dim": 8})
