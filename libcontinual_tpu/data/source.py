@@ -25,6 +25,29 @@ from libcontinual_tpu.registry import DATASETS
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
+def wnid_to_name_table() -> Dict[str, str]:
+    """TinyImageNet wnid -> human class name (vendored public WordNet data,
+    same table the reference ships as dataset_reqs/tinyimagenet_classes.txt
+    and applies at core/data/dataset.py:57-60). CLIP text prompts need real
+    names — 'a photo of a n01443537' would tank zero-shot transfer."""
+    path = os.path.join(os.path.dirname(__file__), "tinyimagenet_classes.txt")
+    table = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2:
+                table[parts[0]] = parts[1]
+    return table
+
+
+def _humanize_class_names(class_names: List[str]) -> List[str]:
+    """Map wnid directory names (n########) to readable names when possible."""
+    if not any(n.startswith("n") and n[1:].isdigit() for n in class_names):
+        return class_names
+    table = wnid_to_name_table()
+    return [table.get(n, n) for n in class_names]
+
+
 def _load_folder(data_root: str, mode: str, storage_size: Optional[int]) -> Dict:
     from PIL import Image
 
@@ -49,7 +72,7 @@ def _load_folder(data_root: str, mode: str, storage_size: Optional[int]) -> Dict
     return {
         "images": np.stack(images),
         "labels": np.asarray(labels, np.int32),
-        "class_names": class_names,
+        "class_names": _humanize_class_names(class_names),
     }
 
 

@@ -28,6 +28,27 @@ def test_binary_cifar100_pickle(tmp_path):
     assert src["labels"].max() == 3
 
 
+def test_tinyimagenet_wnid_names(tmp_path):
+    """Folder datasets with wnid class dirs get human class names (reference
+    core/data/dataset.py:57-60 + dataset_reqs/tinyimagenet_classes.txt) so
+    CLIP text prompts say 'Egyptian Mau', not 'n02124075'."""
+    from PIL import Image
+
+    root = tmp_path / "tiny"
+    rng = np.random.RandomState(2)
+    for split in ("train", "test"):
+        for wnid in ("n02124075", "n04540053"):
+            d = root / split / wnid
+            os.makedirs(d)
+            for i in range(3):
+                Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+                    d / f"{i}.png"
+                )
+    cfg = {"dataset": "tiny-imagenet", "data_root": str(root)}
+    src = load_source(cfg, "train")
+    assert src["class_names"] == ["Egyptian Mau", "volleyball"]
+
+
 def test_folder_dataset(tmp_path):
     from PIL import Image
 
