@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from libcontinual_tpu.data import native
 from libcontinual_tpu.data.continual import TaskData
 from libcontinual_tpu.registry import BUFFERS
 
@@ -126,13 +127,14 @@ class LinearBuffer:
                 idx = rng.permutation(idx)
             keep.append(idx[:per_cls])
         keep = np.concatenate(keep)
-        self.images, self.labels = self.images[keep], self.labels[keep]
+        self.images = native.gather_rows(self.images, keep)
+        self.labels = self.labels[keep]
 
     def _append(self, images: np.ndarray, labels: np.ndarray):
         if self.labels is None:
             self.images, self.labels = images.copy(), labels.copy()
         else:
-            self.images = np.concatenate([self.images, images])
+            self.images = native.concat_rows(self.images, images)
             self.labels = np.concatenate([self.labels, labels])
 
     def _herding_update(self, task_data: TaskData, feature_fn):
@@ -165,10 +167,10 @@ class LinearBuffer:
             if self.labels is None:
                 pool_im, pool_lb = task_data.images, task_data.labels
             else:
-                pool_im = np.concatenate([task_data.images, self.images])
+                pool_im = native.concat_rows(task_data.images, self.images)
                 pool_lb = np.concatenate([task_data.labels, self.labels])
             perm = rng.permutation(len(pool_lb))[: self.buffer_size]
-            self.images = pool_im[perm].copy()
+            self.images = native.gather_rows(pool_im, perm)
             self.labels = pool_lb[perm].copy()
 
 

@@ -186,9 +186,13 @@ class Trainer:
     # ------------------------------------------------------------------- data
 
     def _epoch_indices(self, n: int, epoch_seed: int):
-        """Shuffled, padded index matrix + weights (pad positions weigh 0)."""
-        rng = np.random.RandomState(epoch_seed)
-        perm = rng.permutation(n)
+        """Shuffled, padded index matrix + weights (pad positions weigh 0).
+        The shuffle runs in the C++ host engine when built (deterministic
+        xorshift Fisher-Yates; numpy fallback is deterministic too, with a
+        different but equally valid permutation)."""
+        from libcontinual_tpu.data import native
+
+        perm = native.shuffled_indices(n, epoch_seed)
         steps = _ceil_div(n, self.batch_size)
         total = steps * self.batch_size
         pad = total - n

@@ -152,10 +152,10 @@ class ContinualStream:
         self._tasks: List[TaskData] = []
         for t in range(task_num):
             lo, hi = self.class_range(t)
-            sel = (labels_new >= lo) & (labels_new < hi)
+            sel = np.nonzero((labels_new >= lo) & (labels_new < hi))[0]
             self._tasks.append(
                 TaskData(
-                    images=images[sel],
+                    images=native.gather_rows(images, sel),
                     labels=labels_new[sel].astype(np.int32),
                     class_lo=lo,
                     class_hi=hi,
@@ -207,7 +207,7 @@ class ContinualStream:
                 keep_idx.append(idx[: counts[c]])
             keep = np.concatenate(keep_idx)
             self._tasks[t] = TaskData(
-                images=td.images[keep],
+                images=native.gather_rows(td.images, keep),
                 labels=td.labels[keep],
                 class_lo=td.class_lo,
                 class_hi=td.class_hi,

@@ -1,0 +1,42 @@
+"""C++ host data engine: every C-ABI entry point vs its numpy fallback.
+Skips when libhostdata.so hasn't been built (`make native`)."""
+
+import numpy as np
+import pytest
+
+from libcontinual_tpu.data import native
+
+needs_lib = pytest.mark.skipif(
+    not native.available(), reason="libhostdata.so not built (make native)"
+)
+
+
+@needs_lib
+def test_gather_rows_matches_numpy():
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 255, (64, 8, 8, 3), np.uint8)
+    idx = rng.randint(0, 64, (200,))
+    assert (native.gather_rows(src, idx) == src[idx]).all()
+
+
+@needs_lib
+def test_concat_rows_matches_numpy():
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 255, (10, 4, 4, 3), np.uint8)
+    b = rng.randint(0, 255, (7, 4, 4, 3), np.uint8)
+    assert (native.concat_rows(a, b) == np.concatenate([a, b])).all()
+
+
+@needs_lib
+def test_shuffled_indices_is_permutation_and_deterministic():
+    out = native.shuffled_indices(1000, seed=42)
+    assert sorted(out.tolist()) == list(range(1000))
+    assert (out == native.shuffled_indices(1000, seed=42)).all()
+    assert (out != native.shuffled_indices(1000, seed=43)).any()
+
+
+def test_gather_rows_fallback_on_noncontiguous():
+    # non-contiguous input must take the numpy path, same result
+    src = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)[:, ::2]
+    idx = np.asarray([2, 0, 3])
+    assert (native.gather_rows(src, idx) == src[idx]).all()
