@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from libcontinual_tpu.data import native
 from libcontinual_tpu.data.source import load_source
 
 

@@ -25,6 +25,17 @@ from libcontinual_tpu.methods.common import batch_iter, copy_tree, zeros_like_tr
 from libcontinual_tpu.registry import METHODS
 
 
+def ewc_penalty(fisher, params, ref_params):
+    """Quadratic Fisher penalty ``1/2 * sum F (p - p*)^2``
+    (reference ewc.py:207-225; the lamda factor is applied by the caller)."""
+    return jax.tree_util.tree_reduce(
+        lambda a, b: a + b,
+        jax.tree_util.tree_map(
+            lambda f, p, r: jnp.sum(f * (p - r) ** 2), fisher, params, ref_params
+        ),
+    ) / 2.0
+
+
 @METHODS.register("EWC")
 class EWC(Method):
     def __init__(self, config, mesh_ctx=None):
@@ -46,13 +57,7 @@ class EWC(Method):
         mask = jnp.where(state.task > 0, cur_mask, jnp.ones_like(cur_mask))
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), mask)
 
-        penalty = jax.tree_util.tree_reduce(
-            lambda a, b: a + b,
-            jax.tree_util.tree_map(
-                lambda f, p, r: jnp.sum(f * (p - r) ** 2),
-                state.mvars["fisher"], params, state.mvars["ref_params"],
-            ),
-        ) / 2.0
+        penalty = ewc_penalty(state.mvars["fisher"], params, state.mvars["ref_params"])
         loss = ce + jnp.where(state.task > 0, self.lamda * penalty, 0.0)
         return loss, {"logits": logits, "model_state": new_model_state}
 

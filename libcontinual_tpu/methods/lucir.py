@@ -32,6 +32,23 @@ from libcontinual_tpu.methods.common import batch_iter, copy_tree, normalized
 from libcontinual_tpu.registry import METHODS
 
 
+def margin_ranking(scores, labels, prev_mask, seen_mask, K, dist, weight=None):
+    """LUCIR margin-ranking on pre-sigma cosine scores (reference
+    lucir.py:188-203): for each OLD-class sample, the ground-truth score must
+    beat each of the top-K novel-class scores by ``dist``; hinge violations
+    averaged over (old samples x K)."""
+    n_old = jnp.sum(prev_mask)
+    gt = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
+    new_mask = (seen_mask - prev_mask)[None, :] > 0
+    novel_scores = jnp.where(new_mask, scores, -jnp.inf)
+    topk = jax.lax.top_k(novel_scores, K)[0]  # (B, K)
+    viol = jnp.maximum(dist - (gt[:, None] - topk), 0.0)
+    hard = (labels < n_old).astype(jnp.float32)
+    if weight is not None:
+        hard = hard * weight
+    return jnp.sum(viol * hard[:, None]) / jnp.maximum(jnp.sum(hard) * K, 1.0)
+
+
 @METHODS.register("LUCIR")
 class LUCIR(Method):
     def __init__(self, config, mesh_ctx=None):
@@ -139,16 +156,10 @@ class LUCIR(Method):
         lf = jnp.sum(lf * w) / jnp.maximum(jnp.sum(w), 1.0) if w is not None else jnp.mean(lf)
 
         # margin ranking on pre-sigma scores (lucir.py:188-203)
-        n_old = jnp.sum(state.prev_mask)
-        gt = jnp.take_along_axis(scores, batch["label"][:, None], axis=1)[:, 0]
-        new_mask = (state.seen_mask - state.prev_mask)[None, :] > 0
-        novel_scores = jnp.where(new_mask, scores, -jnp.inf)
-        topk = jax.lax.top_k(novel_scores, self.K)[0]  # (B, K)
-        viol = jnp.maximum(self.dist - (gt[:, None] - topk), 0.0)
-        hard = (batch["label"] < n_old).astype(jnp.float32)
-        if w is not None:
-            hard = hard * w
-        mr = jnp.sum(viol * hard[:, None]) / jnp.maximum(jnp.sum(hard) * self.K, 1.0)
+        mr = margin_ranking(
+            scores, batch["label"], state.prev_mask, state.seen_mask,
+            self.K, self.dist, w,
+        )
 
         inc = jnp.where(state.task > 0, 1.0, 0.0)
         loss = ce + inc * (state.mvars["cur_lamda"] * lf + self.lw_mr * mr)

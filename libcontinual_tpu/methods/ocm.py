@@ -66,36 +66,52 @@ def rotation_expand(x, y):
     return X16, y16 + offsets
 
 
-def nt_xent(sim_matrix, labels, temperature=0.07, mode="n"):
-    """Supervised NT-Xent variants (reference ocm.py:738-816)."""
-    b2 = sim_matrix.shape[0]
-    b = b2 // 2
-    labels1 = jnp.concatenate([labels, labels])
+def _nt_logm(sim_matrix, temperature, exclude_diag):
+    """-log softmax-similarity matrix shared by all NT-Xent variants
+    (reference ocm.py:748-755)."""
     sim_matrix = sim_matrix - jax.lax.stop_gradient(
         jnp.max(sim_matrix, axis=1, keepdims=True)
     )
-    eye = jnp.eye(b2)
-    e = jnp.exp(sim_matrix / temperature) * (1 - eye)
+    e = jnp.exp(sim_matrix / temperature)
+    if exclude_diag:
+        e = e * (1 - jnp.eye(sim_matrix.shape[0]))
     denom = jnp.sum(e, axis=1, keepdims=True)
-    logm = -jnp.log(e / (denom + 1e-8) + 1e-8)
+    return -jnp.log(e / (denom + 1e-8) + 1e-8)
+
+
+def _label_mask(labels1):
     mask = (labels1[:, None] == labels1[None, :]).astype(jnp.float32)
-    mask = mask / (jnp.sum(mask, axis=1, keepdims=True) + 1e-8)
-    loss1 = 2 * jnp.sum(mask * logm) / (2 * b)
+    return mask / (jnp.sum(mask, axis=1, keepdims=True) + 1e-8)
+
+
+def nt_xent(sim_matrix, labels, temperature=0.07, mode="n"):
+    """Supervised NT-Xent variants (reference ocm.py:738-785). ``labels`` has
+    rows/2 entries (the aug pair repeats them).
+
+    ``n`` (ocm.py:738-759): diagonal-EXCLUDED softmax; doubled label-mask sum
+    plus the aug-pair positive diagonals.
+    ``uni`` (ocm.py:762-780): diagonal KEPT; single label-mask sum, no
+    positive term.
+    """
+    b = sim_matrix.shape[0] // 2
+    labels1 = jnp.concatenate([labels, labels])
+    mask = _label_mask(labels1)
     if mode == "uni":
-        return loss1
+        logm = _nt_logm(sim_matrix, temperature, exclude_diag=False)
+        return jnp.sum(mask * logm) / (2 * b)
+    logm = _nt_logm(sim_matrix, temperature, exclude_diag=True)
+    loss1 = 2 * jnp.sum(mask * logm) / (2 * b)
     pos = jnp.sum(jnp.diag(logm[:b, b:]) + jnp.diag(logm[b:, :b])) / (2 * b)
     return pos + loss1
 
 
 def nt_xent_pre(sim_matrix, labels, temperature=0.07):
-    """Distillation NT-Xent against the previous model (ocm.py:790-816)."""
-    sim_matrix = sim_matrix - jax.lax.stop_gradient(
-        jnp.max(sim_matrix, axis=1, keepdims=True)
-    )
-    e = jnp.exp(sim_matrix / temperature)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    logm = -jnp.log(e / (denom + 1e-8) + 1e-8)
-    return jnp.mean(jnp.diag(logm))
+    """Distillation NT-Xent against the previous model (ocm.py:787-811):
+    label-masked like ``uni`` but with UNREPEATED labels (rows == len(labels))
+    and the diagonal kept."""
+    b = sim_matrix.shape[0] // 2
+    logm = _nt_logm(sim_matrix, temperature, exclude_diag=False)
+    return jnp.sum(_label_mask(labels) * logm) / (2 * b)
 
 
 @METHODS.register("OCM")
@@ -185,8 +201,10 @@ class OCM(Method):
     def _norm(self, z):
         return z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
 
-    def _contrast_loss(self, params, state, x_u8, y, rng, teacher=None):
-        """NT-Xent over [rotations; simclr(rotations)] (ocm.py:915-935)."""
+    def _contrast_loss(self, params, state, x_u8, y, rng, teacher=None, mode="n"):
+        """NT-Xent over [rotations; simclr(rotations)] (ocm.py:915-935);
+        the replay path uses ``uni`` + the ``pre`` teacher term
+        (ocm.py:972-973)."""
         k1, k2 = jax.random.split(rng)
         xr, yr = rotation_expand(x_u8.astype(jnp.float32) / 255.0, y)
         xr_aug = self._simclr_aug(k1, xr)
@@ -197,7 +215,7 @@ class OCM(Method):
         id1 = jax.random.randint(k2, (), 0, max(self.feat_dim - self.proj_dim, 1))
         slice_f = jax.lax.dynamic_slice_in_dim(fmap, id1, self.proj_dim, axis=1)
         sim = simclr @ slice_f.T + simclr @ simclr.T
-        loss = nt_xent(sim, yr, temperature=0.07)
+        loss = nt_xent(sim, yr, temperature=0.07, mode=mode)
         extra = None
         if teacher is not None:
             t_f, t_proj, _ = self._embed(
@@ -223,7 +241,7 @@ class OCM(Method):
         buf = state.mvars["buffer"]
         mx, my, mw = sample_random(buf, k3, self.buffer_batch)
         c_rep, c_pre, _ = self._contrast_loss(
-            params, state, mx, my, k4, teacher=state.mvars["teacher"]
+            params, state, mx, my, k4, teacher=state.mvars["teacher"], mode="uni"
         )
         mem_aug = self._simclr_aug(k5, mx.astype(jnp.float32) / 255.0)
         m_logits, _, _ = self.forward(params, state.mvars["model_state"], mem_aug, train=True)
