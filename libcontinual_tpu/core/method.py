@@ -250,7 +250,9 @@ class Method:
         """Run the backbone; returns (features_dict, new_model_state).
         ``rng`` feeds dropout when the backbone uses it."""
         variables = {"params": params["backbone"], **model_state}
-        rngs = {"dropout": rng} if (train and rng is not None) else None
+        # "moe" feeds noisy top-k gating in MoE-adapter blocks (unused
+        # collections are ignored by flax)
+        rngs = {"dropout": rng, "moe": rng} if (train and rng is not None) else None
         if train and model_state:
             out, new_state = self.backbone.apply(
                 variables, x, train=True, mutable=list(model_state.keys()),

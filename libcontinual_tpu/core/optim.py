@@ -133,7 +133,10 @@ class ScheduleController:
         if self.name == "CosineAnnealingWarmUp":
             # per-iteration schedule (reference core/scheduler.py:64-89)
             wl = self.kwargs.get("warmup_length", 0)
-            t_max = self.kwargs.get("T_max", self.total_epochs * s)
+            # T_max: 0 in configs means "computed at runtime" (the reference
+            # builds this scheduler per task with T_max = epochs * steps,
+            # reference trainer.py:175-180)
+            t_max = self.kwargs.get("T_max") or self.total_epochs * s
             it = epoch * s + np.arange(s)
             warm = self.base_lr * (it + 1) / max(wl, 1)
             cos = self.base_lr * 0.5 * (1 + np.cos(np.pi * it / t_max))

@@ -71,6 +71,72 @@ class CLIPMethod(Method):
 
 
 @METHODS.register("MOE_ADAPTER4CL", aliases=("MoE_Adapter4CL",))
+def make_moe_adapter4cl(config, mesh_ctx=None):
+    """Backbone dispatch (reference moe_adapter4cl.py:68-98 branches on
+    CLIP vs ViTZoo): the ViT variant trains MoE adapters + a per-task-masked
+    linear head instead of text contrast."""
+    if "clip" in str(config["backbone"]["name"]).lower():
+        return MoEAdapter4CL(config, mesh_ctx)
+    return MoEAdapter4CLViT(config, mesh_ctx)
+
+
+class MoEAdapter4CLViT(Method):
+    """MoE-Adapter on a frozen ViT (reference moe_adapter4cl.py:70-98 VIT
+    branch + moe_adapter4cl_vit.yaml): only the MoE-adapter experts and the
+    classifier train; CE over the current task's classes; inference over all
+    seen heads."""
+
+    concat_buffer = False
+    per_iter_scheduler = True  # CosineAnnealingWarmUp steps per iteration
+
+    def __init__(self, config, mesh_ctx=None):
+        bk = config["backbone"].setdefault("kwargs", {})
+        bk.setdefault("moe_experts", bk.get("experts_num", 2))
+        super().__init__(config, mesh_ctx)
+        self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
+        self.aux_weight = float(self.kwargs.get("load_balance_weight", 1e-2))
+
+    def init_state(self, rng, sample_input_hw):
+        state = super().init_state(rng, sample_input_hw)
+
+        def mask_tree(tree, path=()):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out[k] = mask_tree(v, path + (k,))
+                else:
+                    train = any("moe" in p or "adaptmlp" in p for p in path + (k,))
+                    out[k] = jnp.asarray(1.0 if train else 0.0)
+            return out
+
+        mvars = dict(state.mvars)
+        mvars["trainable_mask"] = {
+            "backbone": mask_tree(state.params["backbone"]),
+            "head": jax.tree_util.tree_map(
+                lambda p: jnp.asarray(1.0), state.params["head"]
+            ),
+        }
+        return state.replace(mvars=mvars)
+
+    def loss(self, params, state, batch, rng):
+        out, new_model_state = self.apply_backbone(
+            params, state.mvars["model_state"], batch["x"], train=True, rng=rng
+        )
+        logits = self._head.apply({"params": params["head"]}, out["features"])
+        cur_mask = state.seen_mask - state.prev_mask
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        loss = ce + self.aux_weight * out.get("moe_aux", 0.0)
+        masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
+        return loss, {"logits": masked, "model_state": new_model_state}
+
+    def eval_logits(self, state, x, task_id):
+        out, _ = self.apply_backbone(
+            state.params, state.mvars["model_state"], x, train=False
+        )
+        logits = self._head.apply({"params": state.params["head"]}, out["features"])
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+
+
 class MoEAdapter4CL(CLIPMethod):
     def __init__(self, config, mesh_ctx=None):
         bk = config["backbone"].setdefault("kwargs", {})

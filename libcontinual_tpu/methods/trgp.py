@@ -35,6 +35,17 @@ PROJ_LAYERS = ["conv0_kernel", "conv1_kernel", "conv2_kernel", "fc3_kernel", "fc
 
 
 @METHODS.register("TRGP")
+def make_trgp(config, mesh_ctx=None):
+    """Backbone dispatch (the reference TRGP class branches on its backbone,
+    reference trgp.py:89-121): ``backbone: clip`` configs (zz_TRGP/trgp_cil-
+    clip-*.yaml) run the CLIP variant."""
+    if "clip" in str(config["backbone"]["name"]).lower():
+        from libcontinual_tpu.methods.trgp_clip import TRGPCLIP
+
+        return TRGPCLIP(config, mesh_ctx)
+    return TRGP(config, mesh_ctx)
+
+
 class TRGP(GPM):
     validate_enabled = False  # reference trainer.py:367-377 disables it
     R_CAP = 128  # padded trust-region rank cap per (task, layer, slot)

@@ -228,13 +228,18 @@ def cifar_resnet20(**kwargs):
     return CifarResNet(depth=20, dtype=kwargs.get("dtype", jnp.bfloat16))
 
 
-@BACKBONES.register("cifar_resnet32")
+@BACKBONES.register("cifar_resnet32", aliases=("cifar_resnet32_V2",))
 def cifar_resnet32(**kwargs):
+    """cifar_resnet32_V2 is the reference's BIC factory (resnet.py:765-767);
+    the bias-correction layers live in our bic method, so the plain cifar
+    ResNet is its backbone equivalent."""
     return CifarResNet(depth=32, dtype=kwargs.get("dtype", jnp.bfloat16))
 
 
-@BACKBONES.register("cifar_resnet32_lucir")
+@BACKBONES.register("cifar_resnet32_lucir", aliases=("resnet32_V2",))
 def cifar_resnet32_lucir(**kwargs):
+    """resnet32_V2 is the reference's LUCIR factory (resnet.py:769-773):
+    modified_ResNet with no ReLU after the last block."""
     return CifarResNet(
         depth=32, last_relu=False, dtype=kwargs.get("dtype", jnp.bfloat16)
     )
@@ -288,6 +293,14 @@ FEATURE_DIMS = {
     "resnet18_AML": 160,
     "cifar_resnet20": 64,
     "cifar_resnet32": 64,
+    "cifar_resnet32_V2": 64,
     "cifar_resnet32_lucir": 64,
+    "resnet32_V2": 64,
     "resnet18_cbam": 512,
+    "vit_pt_imnet": 768,
+    "vit_cl_lora": 768,
+    "ViT_CL_LoRA": 768,
+    "SiNet_vit": 768,
+    "vit_inflora": 768,
+    "clip": 512,
 }

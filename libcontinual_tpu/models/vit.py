@@ -469,6 +469,7 @@ def _load_npz_into(params: Dict, raw: Dict):
         "vit_inflora",      # reference vit_inflora.py timm fork
         "vit_pt_imnet_dap",  # reference vit_dap.py entry (dap prompts live in the method)
         "ViT_CL_LoRA",      # reference vit.py:206
+        "vit_cl_lora",      # zz_CL-LoRA config spelling
         "vit_pt_imnet",     # reference L2P/DualPrompt/CODA config backbone name
     ),
 )
@@ -476,6 +477,9 @@ def vitzoo(**kwargs):
     return VisionTransformer(
         img_size=int(kwargs.get("img_size", 224)),
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
+        # MoE-adapter experts (reference moe_adapter4cl_vit.yaml `experts_num`)
+        moe_experts=int(kwargs.get("moe_experts", kwargs.get("experts_num", 0)) or 0),
+        moe_top_k=int(kwargs.get("moe_top_k", 2)),
         dtype=kwargs.get("dtype", jnp.bfloat16),
     )
 

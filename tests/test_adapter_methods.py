@@ -64,6 +64,32 @@ def test_ranpac_ridge_sweep_picks_interior_lambda():
     assert abs(errs[i] - explicit) / max(explicit, 1e-9) < 1e-3
 
 
+def test_moe_adapter4cl_vit_variant(tiny_config):
+    """MOE_ADAPTER4CL dispatches to the ViT variant on non-clip backbones
+    (reference moe_adapter4cl.py:70-98 + moe_adapter4cl_vit.yaml): MoE params
+    + head train, trunk frozen."""
+    cfg = cfg_for(tiny_config, "MOE_ADAPTER4CL", {},
+                  backbone_kwargs={"experts_num": 2, "adapter_dim": 0})
+    tr = Trainer(cfg)
+    from libcontinual_tpu.methods.clip_methods import MoEAdapter4CLViT
+
+    assert isinstance(tr.method, MoEAdapter4CLViT)
+    import jax
+
+    frozen_before = jax.tree_util.tree_map(
+        np.asarray, tr.state.params["backbone"]["block_0"]["attn"]
+    )
+    res = tr.train_loop()
+    assert np.isfinite(res["acc_table"]).all()
+    frozen_after = jax.tree_util.tree_map(
+        np.asarray, tr.state.params["backbone"]["block_0"]["attn"]
+    )
+    for b, a in zip(jax.tree_util.tree_leaves(frozen_before),
+                    jax.tree_util.tree_leaves(frozen_after)):
+        assert np.allclose(b, a), "frozen trunk moved"
+    assert res["acc_table"][1].mean() > 25.0
+
+
 def test_dmnsp(tiny_config):
     cfg = cfg_for(tiny_config, "DMNSP", {"lamda_scale": 30.0, "embd_dim": 64})
     tr = Trainer(cfg)
