@@ -133,16 +133,23 @@ class MoEMLP(nn.Module):
     transformer.py:1461-1658: noisy top-k gating + cv^2 load-balancing over
     small bottleneck experts). Experts are computed densely and mixed by the
     (top-k-sparsified) gate — at 2-4 tiny experts, a dense einsum beats
-    dispatch on TPU (SURVEY.md §2.6)."""
+    dispatch on TPU (SURVEY.md §2.6).
+
+    Routing: ``route="image"`` gates each IMAGE once on its token-0 (CLS/EOT)
+    vector and sends the whole token sequence through the chosen experts —
+    the reference's SparseDispatcher semantics (transformer.py:1640-1650
+    routes ``x[:, 0, :]``). ``route="token"`` gates per token (the usual MoE
+    granularity, kept as an option)."""
 
     dim: int
     num_experts: int = 4
     top_k: int = 2
     bottleneck: int = 64
+    route: str = "image"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, gate_noise_rng=None):
+    def __call__(self, x, gate_noise_rng=None, gate_vec=None):
         b, s, d = x.shape
         wg = self.param("w_gate", nn.initializers.zeros, (d, self.num_experts))
         wn = self.param("w_noise", nn.initializers.zeros, (d, self.num_experts))
@@ -153,21 +160,28 @@ class MoEMLP(nn.Module):
         up = self.param(
             "up", nn.initializers.zeros_init(), (self.num_experts, self.bottleneck, d)
         )
-        xf = x.astype(jnp.float32)
-        clean = xf @ wg
+        if self.route == "image":
+            gx = (gate_vec if gate_vec is not None else x[:, 0, :]).astype(jnp.float32)
+        else:
+            gx = x.astype(jnp.float32)  # (B, S, D): per-token
+        clean = gx @ wg
         if gate_noise_rng is not None:
-            noise_std = jax.nn.softplus(xf @ wn) + 1e-2
+            # noisy top-k gating (reference transformer.py:1603-1636)
+            noise_std = jax.nn.softplus(gx @ wn) + 1e-2
             logits = clean + jax.random.normal(gate_noise_rng, clean.shape) * noise_std
         else:
             logits = clean
         topv, _ = jax.lax.top_k(logits, self.top_k)
         thresh = topv[..., -1:]
         masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-        gates = jax.nn.softmax(masked, axis=-1)  # (B, S, E)
+        gates = jax.nn.softmax(masked, axis=-1)  # (B, E) or (B, S, E)
         h = jnp.einsum("bsd,edk->bsek", x.astype(self.dtype), down.astype(self.dtype))
         h = nn.relu(h)
         y = jnp.einsum("bsek,ekd->bsed", h, up.astype(self.dtype))
-        out = jnp.einsum("bse,bsed->bsd", gates.astype(self.dtype), y)
+        if self.route == "image":
+            out = jnp.einsum("be,bsed->bsd", gates.astype(self.dtype), y)
+        else:
+            out = jnp.einsum("bse,bsed->bsd", gates.astype(self.dtype), y)
         # cv^2 load-balancing loss over gate importance (transformer.py:1540)
         importance = jnp.sum(gates.reshape(-1, self.num_experts), axis=0)
         cv2 = jnp.var(importance) / (jnp.mean(importance) ** 2 + 1e-10)
@@ -187,7 +201,7 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
-                 moe_rng=None):
+                 moe_rng=None, gate_index=0):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
         ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
@@ -207,10 +221,12 @@ class ViTBlock(nn.Module):
                 name="adaptmlp",
             )(ln2)
         if self.moe_experts > 0:
+            # routing input = post-attention residual CLS/EOT token
+            # (reference transformer.py:1640-1644 gates on x[:, 0, :])
             moe_out, aux = MoEMLP(
                 self.dim, self.moe_experts, self.moe_top_k, dtype=self.dtype,
                 name="moe",
-            )(ln2, gate_noise_rng=moe_rng)
+            )(ln2, gate_noise_rng=moe_rng, gate_vec=x[:, gate_index, :])
             y = y + moe_out
         out = x + y
         if self.moe_experts > 0:
@@ -316,7 +332,10 @@ class VisionTransformer(nn.Module):
                 moe_rng = (
                     self.make_rng("moe") if train and self.has_rng("moe") else None
                 )
-                x, aux = block(x, prefix_kv=pkv, qkv_delta=delta, moe_rng=moe_rng)
+                x, aux = block(
+                    x, prefix_kv=pkv, qkv_delta=delta, moe_rng=moe_rng,
+                    gate_index=n_prompt,  # CLS sits after any prepended prompts
+                )
                 moe_aux = moe_aux + aux
             else:
                 x = block(x, prefix_kv=pkv, qkv_delta=delta)
