@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from libcontinual_tpu.ops.attention import fused_attention
+from libcontinual_tpu.ops.attention import attention
 from libcontinual_tpu.registry import BACKBONES
 
 
@@ -123,7 +123,7 @@ class ViTAttention(nn.Module):
             p = jax.nn.softmax(sarr, axis=-1).astype(self.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         else:
-            o = fused_attention(q, k, v, 1.0 / np.sqrt(hd))
+            o = attention(q, k, v, 1.0 / np.sqrt(hd))
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(o)
 

@@ -1,1 +1,1 @@
-from libcontinual_tpu.ops.attention import fused_attention  # noqa: F401
+from libcontinual_tpu.ops.attention import attention, fused_attention  # noqa: F401

@@ -29,8 +29,22 @@ import numpy as np
 
 
 def _xla_attention(q, k, v, scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+    # Score-accumulation dtype: measured in ISOLATION, bf16 scores beat f32
+    # (1.30 vs 1.61 ms/layer at ViT-B/L2P shapes — halves the (B,H,Sq,Skv)
+    # logits HBM traffic), but in the FULL L2P train step they regress
+    # throughput 626->586 img/s (fusion interaction with the surrounding
+    # pass; measured on v5e, tools/bench_attention.py + bench.py). Default
+    # stays f32; bf16 remains selectable for other workloads.
+    import os
+
+    pet = (
+        jnp.bfloat16
+        if (q.dtype == jnp.bfloat16
+            and os.environ.get("LIBCONTINUAL_ATTN_SCORES") == "bf16")
+        else jnp.float32
+    )
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=pet)
+    p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
@@ -98,12 +112,26 @@ def _pallas_attention(q, k, v, scale):
     return out[:, :sq, :].reshape(b, h, sq, d)
 
 
+def attention(q, k, v, scale: Optional[float] = None):
+    """softmax(q k^T * scale) v over (B, H, S, D) tensors — the framework
+    entry point. ``k``/``v`` may be longer than ``q`` (prompt prefixes).
+
+    Backward: XLA's native autodiff by default — it saves the (bf16)
+    probability tensor from forward and fuses the backward chain better than
+    a rematerializing custom VJP (measured on v5e, full L2P step: 670 vs
+    626 img/s). ``LIBCONTINUAL_ATTN_VJP=remat`` selects the flash-style
+    recompute VJP instead (lower peak memory: nothing S x S is saved), for
+    memory-constrained regimes."""
+    import os
+
+    if os.environ.get("LIBCONTINUAL_ATTN_VJP") == "remat":
+        return fused_attention(q, k, v, scale)
+    return _attention_impl(q, k, v, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, scale: Optional[float] = None):
-    """softmax(q k^T * scale) v over (B, H, S, D) tensors.
-
-    Uses the Pallas kernel on TPU, plain XLA elsewhere. ``k``/``v`` may be
-    longer than ``q`` (prompt prefixes)."""
+    """softmax(q k^T * scale) v with a rematerializing custom VJP."""
     return _attention_impl(q, k, v, scale)
 
 
