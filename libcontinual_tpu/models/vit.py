@@ -308,6 +308,7 @@ class VisionTransformer(nn.Module):
 
         attn_inputs = []
         moe_aux = 0.0
+        x2 = x if dual_delta_fn is not None else None
         if self.vpt_len > 0:
             # VPT-deep (reference petl/vpt.py:6-144): per-layer prompt tokens
             # prepended before each block and replaced at the next
@@ -355,16 +356,25 @@ class VisionTransformer(nn.Module):
                 )
                 moe_aux = moe_aux + aux
             else:
+                if x2 is not None:
+                    # second stream through the SAME block instance (shared
+                    # weights), with its own runtime-computed qkv delta
+                    delta2 = dual_delta_fn(i, x)
+                    x2 = block(x2, prefix_kv=pkv, qkv_delta=delta2)
                 x = block(x, prefix_kv=pkv, qkv_delta=delta)
 
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        )
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        x = final_norm(x.astype(jnp.float32))
         if feature_mode == "prompt_mean" and n_prompt > 0:
             feats = jnp.mean(x[:, :n_prompt], axis=1)
         else:
             feats = x[:, n_prompt, :]  # cls token position
         out = {"features": feats.astype(jnp.float32), "tokens": x}
+        if x2 is not None:
+            # Transformer_Proj semantics: the scaled stream is the output
+            x2 = final_norm(x2.astype(jnp.float32))
+            out["features_x"] = out["features"]
+            out["features"] = x2[:, n_prompt, :].astype(jnp.float32)
         if capture:
             out["attn_inputs"] = attn_inputs
         if self.moe_experts > 0:
