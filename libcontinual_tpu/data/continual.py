@@ -220,9 +220,19 @@ def build_stream(config: Dict, mode: str, orig_to_new: Optional[np.ndarray] = No
     src = load_source(config, mode)
     num_classes_total = len(src["class_names"])
     if orig_to_new is None:
+        class_order = config.get("class_order")
+        if class_order is None and config.get("dataset") == "tiny-imagenet":
+            # the reference's continuum path shuffles the tiny-imagenet class
+            # order with python's random module (reference dataset.py:38-43),
+            # unlike the numpy permutation of the general path — reproduce it
+            # exactly so per-seed task splits match the published runs
+            import random as _pyrandom
+
+            class_order = list(range(num_classes_total))
+            _pyrandom.Random(config.get("seed")).shuffle(class_order)
         orig_to_new = build_class_map(
             num_classes_total,
-            class_order=config.get("class_order"),
+            class_order=class_order,
             seed=config.get("seed"),
         )
     labels_new = orig_to_new[src["labels"]]

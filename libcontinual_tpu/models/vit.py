@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from libcontinual_tpu.ops.attention import attention_bshd
+from libcontinual_tpu.ops.attention import attention_bshd, fused_qkv_attention
 from libcontinual_tpu.registry import BACKBONES
 
 
@@ -105,6 +105,15 @@ class ViTAttention(nn.Module):
             qkv = qkv + jnp.einsum(
                 "bsd,de->bse", x, qkv_delta.astype(self.dtype)
             )
+        import os
+
+        if prefix_kv is None and attn_mask is None and d % h == 0 \
+                and os.environ.get("LIBCONTINUAL_ATTN") != "xla":
+            # pure self-attention: fused path straight off the packed qkv
+            # tensor (Pallas kernel on TPU — head split as in-kernel lane
+            # slices, VMEM score tile; see ops/attention.py)
+            o = fused_qkv_attention(qkv, 1.0 / np.sqrt(hd), h)
+            return nn.Dense(d, dtype=self.dtype, name="proj")(o)
         # Sequence-major (B, S, H, hd) layout throughout: the head split is
         # a pair of contiguous slices + free reshapes, so XLA never
         # materializes a transposed copy of the qkv tensor (profiled: the

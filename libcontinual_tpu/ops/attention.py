@@ -48,6 +48,196 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+# ---------------------------------------------------------------- fused qkv
+
+
+def _qkv_kernel(qkv_ref, o_ref, *, scale, heads, bt):
+    """One program: ``bt`` images, all heads. The head split is a set of
+    STATIC LANE SLICES of the packed (S, 3*D) qkv block — the (b,s,h,hd)
+    reshape that XLA materializes as a 64-lane relayout copy (~14 ms/step
+    at ViT-B/L2P shapes) never exists here, and the (S, S) score tile stays
+    in VMEM (no f32 score round-trip)."""
+    s_len = qkv_ref.shape[1]
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    for b in range(bt):
+        x = qkv_ref[b]  # (S, 3D)
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _qkv_attention_pallas(qkv, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_qkv_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * s * s * (d // heads),
+            bytes_accessed=b * s * 4 * d * 2,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv)
+
+
+def _qkv_attention_xla(qkv, scale, heads):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, s, heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, s, heads, hd)
+    return _xla_attention_bshd(q, k, v, scale).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_qkv_attention(qkv, scale, heads):
+    """Self-attention straight off the packed qkv tensor:
+    ``(B, S, 3*D) -> (B, S, D)`` with the head axis split in-kernel.
+
+    Forward is the Pallas kernel on TPU (measured 2.67 vs 3.40 ms/layer
+    for XLA's slice+reshape+einsum chain at ViT-B/L2P shapes, ~22% —
+    it also subsumes the relayout copies XLA emits around the reshape);
+    plain XLA on CPU. Backward recomputes probabilities via XLA einsums
+    (flash-style; nothing S x S is saved), so the op is safe to
+    differentiate anywhere. Only for pure self-attention — prefix-KV and
+    masked paths use :func:`attention_bshd`."""
+    if _on_tpu():
+        return _qkv_attention_pallas(qkv, scale, heads)
+    return _qkv_attention_xla(qkv, scale, heads)
+
+
+def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, heads, bt):
+    """Flash-style backward: recompute the (S, S) probabilities in VMEM and
+    emit dqkv in the packed layout — the score/probability tensors and the
+    (b,s,h,hd) relayouts never touch HBM (the XLA einsum backward measured
+    ~5.7 ms/layer in-context at ViT-B/L2P shapes; this kernel ~1.7 ms)."""
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    for b in range(bt):
+        x = qkv_ref[b]   # (S, 3D)
+        go = g_ref[b]    # (S, D)
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            gh = go[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # (Sq, Sk) f32
+            pb = p.astype(x.dtype)
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Sq, Sk)
+            dv = jax.lax.dot_general(
+                pb, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Sk, hd)
+            dl = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(
+                x.dtype)
+            dq = jax.lax.dot_general(
+                dl, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                dl, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[b, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, d + h * hd:d + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, 2 * d + h * hd:2 * d + (h + 1) * hd] = dv.astype(
+                dqkv_ref.dtype)
+
+
+def _qkv_bwd_pallas(qkv, g, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * heads * s * s * (d // heads),
+            bytes_accessed=2 * b * s * d3 * 2 + b * s * d * 2,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv, g)
+
+
+def _fused_qkv_fwd(qkv, scale, heads):
+    return fused_qkv_attention(qkv, scale, heads), qkv
+
+
+def _fused_qkv_bwd(scale, heads, qkv, g):
+    if _on_tpu():
+        return (_qkv_bwd_pallas(qkv, g, scale, heads),)
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, s, heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, s, heads, hd)
+    go = g.reshape(b, s, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = go.astype(jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32).astype(v.dtype)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", dl, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bqhd->bkhd", dl, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, s, d), dk.reshape(b, s, d), dv.reshape(b, s, d)], axis=-1
+    )
+    return (dqkv,)
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
 def _pad_to(x, axis, mult):
     pad = (-x.shape[axis]) % mult
     if pad == 0:

@@ -28,3 +28,34 @@ def test_fused_attention_grad_matches_autodiff():
     g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_c, g_r):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_qkv_attention_matches_split_form():
+    from libcontinual_tpu.ops.attention import fused_qkv_attention
+
+    rng = np.random.RandomState(2)
+    b, s, h, hd = 2, 9, 3, 8
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    scale = 1.0 / np.sqrt(hd)
+    out = fused_qkv_attention(qkv, scale, h)
+    q = np.asarray(qkv[..., :d]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = np.asarray(qkv[..., d:2 * d]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    v = np.asarray(qkv[..., 2 * d:]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, d)
+    assert np.allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_fused_qkv_attention_grad_matches_autodiff():
+    from libcontinual_tpu.ops.attention import fused_qkv_attention, _qkv_attention_xla
+
+    rng = np.random.RandomState(3)
+    b, s, h, hd = 1, 6, 2, 4
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    scale = 0.37
+
+    g_c = jax.grad(lambda x: jnp.sum(fused_qkv_attention(x, scale, h) ** 2))(qkv)
+    g_r = jax.grad(lambda x: jnp.sum(_qkv_attention_xla(x, scale, h) ** 2))(qkv)
+    assert np.allclose(np.asarray(g_c), np.asarray(g_r), atol=1e-4)
