@@ -99,6 +99,13 @@ class Trainer:
         h, w, c = self.train_stream.task(0).images.shape[1:]
         rng = jax.random.PRNGKey(int(config.get("seed", 0)))
         self.state = self.method.init_state(rng, (h, w, c))
+        if self.mesh.model_size > 1:
+            # tensor parallelism: column/row-shard transformer MLPs over the
+            # 'model' axis (parallel/tp.py); GSPMD propagates activation
+            # shardings and inserts the post-fc2 psum
+            self.state = jax.device_put(
+                self.state, self.mesh.param_sharding(self.state)
+            )
 
         self._jit_cache: Dict[Any, Any] = {}
         self._eval_fn = jax.jit(self.method.eval_step)

@@ -107,8 +107,13 @@ class ViTAttention(nn.Module):
             )
         import os
 
+        attn_env = os.environ.get("LIBCONTINUAL_ATTN")
+        # pallas_call has no SPMD partitioning rule, so the fused kernel is
+        # single-device only unless explicitly forced (multi-chip meshes take
+        # the XLA path, which GSPMD partitions fine)
+        fused_ok = jax.device_count() == 1 or attn_env == "fused"
         if prefix_kv is None and attn_mask is None and d % h == 0 \
-                and os.environ.get("LIBCONTINUAL_ATTN") != "xla":
+                and attn_env != "xla" and fused_ok:
             # pure self-attention: fused path straight off the packed qkv
             # tensor (Pallas kernel on TPU — head split as in-kernel lane
             # slices, VMEM score tile; see ops/attention.py)

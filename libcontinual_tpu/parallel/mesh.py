@@ -28,11 +28,22 @@ class MeshContext:
     def data_size(self) -> int:
         return self.mesh.shape["data"]
 
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape["model"]
+
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.batch_spec)
 
     def replicated_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.replicated_spec)
+
+    def param_sharding(self, tree: Any) -> Any:
+        """Per-leaf shardings: TP rules over the 'model' axis (parallel/tp.py),
+        replicated everywhere else. Identity-cheap when model == 1."""
+        from libcontinual_tpu.parallel import tp
+
+        return tp.sharding_tree(self, tree)
 
 
 def make_mesh(
