@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from libcontinual_tpu.ops.attention import attention_bshd, fused_qkv_attention
+from libcontinual_tpu.ops.attention import (
+    attention_bshd,
+    fused_prefix_attention,
+    fused_qkv_attention,
+)
 from libcontinual_tpu.registry import BACKBONES
 
 
@@ -118,6 +122,16 @@ class ViTAttention(nn.Module):
             # tensor (Pallas kernel on TPU — head split as in-kernel lane
             # slices, VMEM score tile; see ops/attention.py)
             o = fused_qkv_attention(qkv, 1.0 / np.sqrt(hd), h)
+            return nn.Dense(d, dtype=self.dtype, name="proj")(o)
+        if prefix_kv is not None and attn_mask is None and d % h == 0 \
+                and attn_env != "xla" and fused_ok:
+            # prefix-KV (DualPrompt/CODA/DAP): prompt concat done per head
+            # in VMEM inside the same fused kernel family
+            pk, pv = prefix_kv
+            o = fused_prefix_attention(
+                qkv, pk.astype(self.dtype), pv.astype(self.dtype),
+                1.0 / np.sqrt(hd), h,
+            )
             return nn.Dense(d, dtype=self.dtype, name="proj")(o)
         # Sequence-major (B, S, H, hd) layout throughout: the head split is
         # a pair of contiguous slices + free reshapes, so XLA never

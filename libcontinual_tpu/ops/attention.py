@@ -238,6 +238,269 @@ def _fused_qkv_bwd(scale, heads, qkv, g):
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
+# ------------------------------------------------------- fused qkv + prefix
+
+
+def _pqkv_kernel(qkv_ref, pk_ref, pv_ref, o_ref, *, scale, heads, bt):
+    """Prefix-KV self-attention (DualPrompt/CODA/DAP hot path). The prompt
+    block is handled as a SECOND score matmul with a jointly-normalized
+    softmax (no K/V concat — Mosaic can't relayout sublane concats of
+    misaligned tiles, and the (B, P+S, H, hd) concatenated tensors plus the
+    (S, P+S) scores never exist in HBM)."""
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    for b in range(bt):
+        x = qkv_ref[b]    # (S, 3D)
+        pkb = pk_ref[b]   # (P, D)
+        pvb = pv_ref[b]
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            pk = pkb[:, h * hd:(h + 1) * hd]  # (P, hd)
+            pv = pvb[:, h * hd:(h + 1) * hd]
+            sp = jax.lax.dot_general(
+                q, pk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (S, P)
+            sx = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (S, S)
+            m = jnp.maximum(
+                jnp.max(sp, axis=-1, keepdims=True),
+                jnp.max(sx, axis=-1, keepdims=True),
+            )
+            ep = jnp.exp(sp - m)
+            ex = jnp.exp(sx - m)
+            den = jnp.sum(ep, axis=-1, keepdims=True) + jnp.sum(
+                ex, axis=-1, keepdims=True)
+            pp = (ep / den).astype(x.dtype)
+            px = (ex / den).astype(x.dtype)
+            o = jax.lax.dot_general(
+                pp, pv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                px, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _pqkv_bwd_kernel(qkv_ref, pk_ref, pv_ref, g_ref, dqkv_ref, dpk_ref,
+                     dpv_ref, *, scale, heads, bt):
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    for b in range(bt):
+        x = qkv_ref[b]
+        pkb = pk_ref[b]
+        pvb = pv_ref[b]
+        go = g_ref[b]
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            pk = pkb[:, h * hd:(h + 1) * hd]
+            pv = pvb[:, h * hd:(h + 1) * hd]
+            gh = go[:, h * hd:(h + 1) * hd]
+            sp = jax.lax.dot_general(
+                q, pk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            sx = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.maximum(
+                jnp.max(sp, axis=-1, keepdims=True),
+                jnp.max(sx, axis=-1, keepdims=True),
+            )
+            ep = jnp.exp(sp - m)
+            ex = jnp.exp(sx - m)
+            den = jnp.sum(ep, axis=-1, keepdims=True) + jnp.sum(
+                ex, axis=-1, keepdims=True)
+            pp = ep / den  # (S, P) f32
+            px = ex / den  # (S, S) f32
+            dpp = jax.lax.dot_general(
+                gh, pv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpx = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c = jnp.sum(dpp * pp, axis=-1, keepdims=True) + jnp.sum(
+                dpx * px, axis=-1, keepdims=True)
+            dlp = (pp * (dpp - c)).astype(x.dtype)
+            dlx = (px * (dpx - c)).astype(x.dtype)
+            dq = (jax.lax.dot_general(
+                dlp, pk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                dlx, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )) * scale
+            dk = jax.lax.dot_general(
+                dlx, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dv = jax.lax.dot_general(
+                px.astype(x.dtype), gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpk_h = jax.lax.dot_general(
+                dlp, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dpv_h = jax.lax.dot_general(
+                pp.astype(x.dtype), gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[b, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, d + h * hd:d + (h + 1) * hd] = dk.astype(
+                dqkv_ref.dtype)
+            dqkv_ref[b, :, 2 * d + h * hd:2 * d + (h + 1) * hd] = dv.astype(
+                dqkv_ref.dtype)
+            dpk_ref[b, :, h * hd:(h + 1) * hd] = dpk_h.astype(dpk_ref.dtype)
+            dpv_ref[b, :, h * hd:(h + 1) * hd] = dpv_h.astype(dpv_ref.dtype)
+
+
+def _pqkv_pallas(qkv, pk, pv, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    plen = pk.shape[1]
+    bt = 2 if (b % 2 == 0 and (s + plen) * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_pqkv_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * s * (s + plen) * (d // heads),
+            bytes_accessed=b * (s * 4 * d + 2 * plen * d) * 2,
+            transcendentals=b * heads * s * (s + plen),
+        ),
+    )(qkv, pk, pv)
+
+
+def _pqkv_bwd_pallas(qkv, pk, pv, g, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    plen = pk.shape[1]
+    bt = 2 if (b % 2 == 0 and (s + plen) * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_pqkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, plen, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, d3), qkv.dtype),
+            jax.ShapeDtypeStruct((b, plen, d), pk.dtype),
+            jax.ShapeDtypeStruct((b, plen, d), pv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * heads * s * (s + plen) * (d // heads),
+            bytes_accessed=b * (2 * s * d3 + s * d + 4 * plen * d) * 2,
+            transcendentals=b * heads * s * (s + plen),
+        ),
+    )(qkv, pk, pv, g)
+
+
+def _pqkv_xla(qkv, pk, pv, scale, heads):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = jnp.concatenate([pk, qkv[..., d:2 * d]], axis=1).reshape(
+        b, -1, heads, hd)
+    v = jnp.concatenate([pv, qkv[..., 2 * d:]], axis=1).reshape(
+        b, -1, heads, hd)
+    return _xla_attention_bshd(q, k, v, scale).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_prefix_attention(qkv, pk, pv, scale, heads):
+    """Prefix-KV self-attention off the packed qkv tensor:
+    ``(B,S,3D), (B,P,D), (B,P,D) -> (B,S,D)``.
+
+    Same design as :func:`fused_qkv_attention`, plus the prompt K/V concat
+    done per head in VMEM — the concatenated (B, P+S, ...) K/V tensors that
+    XLA materializes (reference prefix concat: transformer.py:175-180)
+    never exist in HBM. Pallas on TPU, XLA elsewhere; flash-style backward
+    emits dqkv packed plus dpk/dpv for the (trainable) prompts."""
+    if _on_tpu():
+        return _pqkv_pallas(qkv, pk, pv, scale, heads)
+    return _pqkv_xla(qkv, pk, pv, scale, heads)
+
+
+def _pqkv_fwd(qkv, pk, pv, scale, heads):
+    return fused_prefix_attention(qkv, pk, pv, scale, heads), (qkv, pk, pv)
+
+
+def _pqkv_bwd(scale, heads, res, g):
+    qkv, pk, pv = res
+    if _on_tpu():
+        return _pqkv_bwd_pallas(qkv, pk, pv, g, scale, heads)
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    plen = pk.shape[1]
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = jnp.concatenate([pk, qkv[..., d:2 * d]], axis=1).reshape(
+        b, -1, heads, hd)
+    v = jnp.concatenate([pv, qkv[..., 2 * d:]], axis=1).reshape(
+        b, -1, heads, hd)
+    go = g.reshape(b, s, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = go.astype(jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    dvf = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", dl, k.astype(jnp.float32))
+          * scale).astype(qkv.dtype)
+    dkf = (jnp.einsum("bhqk,bqhd->bkhd", dl, q.astype(jnp.float32)) * scale)
+    dqkv = jnp.concatenate([
+        dq.reshape(b, s, d),
+        dkf[:, plen:].astype(qkv.dtype).reshape(b, s, d),
+        dvf[:, plen:].astype(qkv.dtype).reshape(b, s, d),
+    ], axis=-1)
+    dpk = dkf[:, :plen].astype(pk.dtype).reshape(b, plen, d)
+    dpv = dvf[:, :plen].astype(pv.dtype).reshape(b, plen, d)
+    return (dqkv, dpk, dpv)
+
+
+fused_prefix_attention.defvjp(_pqkv_fwd, _pqkv_bwd)
+
+
 def _pad_to(x, axis, mult):
     pad = (-x.shape[axis]) % mult
     if pad == 0:

@@ -59,3 +59,48 @@ def test_fused_qkv_attention_grad_matches_autodiff():
     g_c = jax.grad(lambda x: jnp.sum(fused_qkv_attention(x, scale, h) ** 2))(qkv)
     g_r = jax.grad(lambda x: jnp.sum(_qkv_attention_xla(x, scale, h) ** 2))(qkv)
     assert np.allclose(np.asarray(g_c), np.asarray(g_r), atol=1e-4)
+
+
+def test_fused_prefix_attention_matches_concat_form():
+    from libcontinual_tpu.ops.attention import fused_prefix_attention
+
+    rng = np.random.RandomState(4)
+    b, s, p, h, hd = 2, 7, 3, 2, 8
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    pk = jnp.asarray(rng.randn(b, p, d), jnp.float32)
+    pv = jnp.asarray(rng.randn(b, p, d), jnp.float32)
+    scale = 1.0 / np.sqrt(hd)
+    out = fused_prefix_attention(qkv, pk, pv, scale, h)
+
+    q = np.asarray(qkv[..., :d]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    kf = np.concatenate([np.asarray(pk), np.asarray(qkv[..., d:2 * d])], axis=1)
+    vf = np.concatenate([np.asarray(pv), np.asarray(qkv[..., 2 * d:])], axis=1)
+    k = kf.reshape(b, s + p, h, hd).transpose(0, 2, 1, 3)
+    v = vf.reshape(b, s + p, h, hd).transpose(0, 2, 1, 3)
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, d)
+    assert np.allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_fused_prefix_attention_grads_match_autodiff():
+    from libcontinual_tpu.ops.attention import fused_prefix_attention, _pqkv_xla
+
+    rng = np.random.RandomState(5)
+    b, s, p, h, hd = 1, 5, 2, 2, 4
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    pk = jnp.asarray(rng.randn(b, p, d), jnp.float32)
+    pv = jnp.asarray(rng.randn(b, p, d), jnp.float32)
+    scale = 0.41
+
+    g_c = jax.grad(
+        lambda a, x, y: jnp.sum(fused_prefix_attention(a, x, y, scale, h) ** 2),
+        argnums=(0, 1, 2),
+    )(qkv, pk, pv)
+    g_r = jax.grad(
+        lambda a, x, y: jnp.sum(_pqkv_xla(a, x, y, scale, h) ** 2),
+        argnums=(0, 1, 2),
+    )(qkv, pk, pv)
+    for a, bb in zip(g_c, g_r):
+        assert np.allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
