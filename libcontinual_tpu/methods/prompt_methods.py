@@ -190,6 +190,15 @@ class DualPrompt(PromptViTMethod):
         self.e_len = int(self.kwargs.get("e_prompt_length", 20))
         self.g_len = int(self.kwargs.get("g_prompt_length", 6))
         self.pool_size = int(self.kwargs.get("pool_size", 10))
+        # prompts split into k/v halves (reference prompt.py:300 does the
+        # same int(length/2) split); odd lengths would give mismatched
+        # prefix-K/V token counts there too
+        if self.e_len % 2 or self.g_len % 2:
+            raise ValueError(
+                "DualPrompt e_prompt_length/g_prompt_length must be even "
+                f"(got e={self.e_len}, g={self.g_len}): each prompt is "
+                "split into equal K and V halves"
+            )
 
     def init_prompt_params(self, rng):
         init = jax.nn.initializers.uniform(scale=1.0)
@@ -292,6 +301,12 @@ class CodaPrompt(PromptViTMethod):
         self.length = int(self.kwargs.get("prompt_length", 8))
         self.mu = float(self.kwargs.get("mu", 0.0))
         self.key_d = self.embed_dim
+        if self.length % 2:
+            raise ValueError(
+                f"CodaPrompt prompt_length must be even (got {self.length}): "
+                "composed prompts split into equal K and V halves "
+                "(reference prompt.py:199)"
+            )
 
     def init_prompt_params(self, rng):
         p: Dict[str, Any] = {}
