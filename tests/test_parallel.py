@@ -42,6 +42,35 @@ def test_tp_spec_rules():
     assert tp_spec("vit/blocks_0/mlp/fc2/bias", (64,), 4) == P()
 
 
+def test_tp_matches_replicated_training(tiny_config):
+    """Same seed, same data: a 2x2 dp x tp run must reproduce the 1x1 run's
+    accuracy table (TP sharding is a layout choice, not a math change)."""
+    import jax
+
+    results = []
+    for mesh in ({"data": 1, "model": 1}, {"data": 2, "model": 2}):
+        cfg = copy.deepcopy(tiny_config)
+        cfg["mesh"] = mesh
+        cfg["batch_size"] = 16
+        cfg["epoch"] = 3
+        cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": {}}
+        cfg["classifier"] = {
+            "name": "L2P",
+            "kwargs": {
+                "num_class": 8, "feat_dim": 64, "init_cls_num": 4,
+                "inc_cls_num": 4, "task_num": 2,
+                "prompt_pool": 4, "prompt_length": 2, "top_k": 2,
+            },
+        }
+        cfg["optimizer"] = {"name": "Adam", "kwargs": {"lr": 0.01}}
+        tr = Trainer(cfg)
+        results.append(np.asarray(tr.train_loop()["acc_table"]))
+    # f32 psum reduction order differs; tolerance covers that, not drift
+    assert np.allclose(results[0], results[1], atol=2.0), (
+        f"replicated vs tp acc tables diverged:\n{results[0]}\n{results[1]}"
+    )
+
+
 def test_trainer_tensor_parallel_2x2(tiny_config):
     """dp=2 x tp=2 mesh on a ViT: MLPs sharded over 'model', batch over 'data'."""
     cfg = copy.deepcopy(tiny_config)
