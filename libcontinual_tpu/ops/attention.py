@@ -57,7 +57,6 @@ def _qkv_kernel(qkv_ref, o_ref, *, scale, heads, bt):
     reshape that XLA materializes as a 64-lane relayout copy (~14 ms/step
     at ViT-B/L2P shapes) never exists here, and the (S, S) score tile stays
     in VMEM (no f32 score round-trip)."""
-    s_len = qkv_ref.shape[1]
     d = qkv_ref.shape[2] // 3
     hd = d // heads
     for b in range(bt):

@@ -25,3 +25,29 @@ def test_checkpoint_resume(tiny_config, tmp_path):
     b = jax.tree_util.tree_leaves(tr2.state.params)
     for x, y in zip(a, b):
         assert np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_resume_under_tp_mesh(tiny_config, tmp_path):
+    """TP-sharded state must checkpoint and restore (orbax handles the
+    shardings; restored leaves get re-placed by the trainer)."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg["mesh"] = {"data": 2, "model": 2}
+    cfg["batch_size"] = 16
+    cfg["epoch"] = 2
+    cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "L2P",
+        "kwargs": {
+            "num_class": 8, "feat_dim": 64, "init_cls_num": 4,
+            "inc_cls_num": 4, "task_num": 2,
+            "prompt_pool": 4, "prompt_length": 2, "top_k": 2,
+        },
+    }
+    cfg["optimizer"] = {"name": "Adam", "kwargs": {"lr": 0.01}}
+    cfg["checkpoint"] = {"enable": True, "dir": str(tmp_path / "ck_tp")}
+    tr = Trainer(cfg)
+    tr.train_loop()
+
+    tr2 = Trainer(cfg)
+    assert tr2._resume_from == cfg["task_num"] - 1
+    assert np.allclose(tr2.acc_table, tr.acc_table)
