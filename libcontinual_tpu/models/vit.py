@@ -36,6 +36,7 @@ from flax import linen as nn
 
 from libcontinual_tpu.ops.attention import (
     attention_bshd,
+    fused_masked_qkv_attention,
     fused_prefix_attention,
     fused_qkv_attention,
 )
@@ -131,6 +132,14 @@ class ViTAttention(nn.Module):
             o = fused_prefix_attention(
                 qkv, pk.astype(self.dtype), pv.astype(self.dtype),
                 1.0 / np.sqrt(hd), h,
+            )
+            return nn.Dense(d, dtype=self.dtype, name="proj")(o)
+        if prefix_kv is None and attn_mask is not None and d % h == 0 \
+                and attn_mask.ndim == 2 and attn_env != "xla" and fused_ok:
+            # additive-mask path (CLIP text tower causal mask) through the
+            # fused kernel family — masked scores stay in VMEM
+            o = fused_masked_qkv_attention(
+                qkv, attn_mask, 1.0 / np.sqrt(hd), h
             )
             return nn.Dense(d, dtype=self.dtype, name="proj")(o)
         # Sequence-major (B, S, H, hd) layout throughout: the head split is

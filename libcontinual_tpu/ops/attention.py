@@ -500,6 +500,199 @@ def _pqkv_bwd(scale, heads, res, g):
 fused_prefix_attention.defvjp(_pqkv_fwd, _pqkv_bwd)
 
 
+# ------------------------------------------------------- fused qkv + mask
+
+
+def _mqkv_kernel(qkv_ref, mask_ref, o_ref, *, scale, heads, bt):
+    """Additive-mask self-attention (CLIP text tower causal mask): the mask
+    tile is added to the VMEM-resident scores — the (B, H, S, S) masked
+    score tensor never exists in HBM."""
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    mask = mask_ref[...]  # (S, S) f32 additive
+    for b in range(bt):
+        x = qkv_ref[b]
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _mqkv_bwd_kernel(qkv_ref, mask_ref, g_ref, dqkv_ref, *, scale, heads, bt):
+    d = qkv_ref.shape[2] // 3
+    hd = d // heads
+    mask = mask_ref[...]
+    for b in range(bt):
+        x = qkv_ref[b]
+        go = g_ref[b]
+        for h in range(heads):
+            q = x[:, h * hd:(h + 1) * hd]
+            k = x[:, d + h * hd:d + (h + 1) * hd]
+            v = x[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            gh = go[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            pb = p.astype(x.dtype)
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(
+                pb, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dl = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(
+                x.dtype)
+            dq = jax.lax.dot_general(
+                dl, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                dl, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[b, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, d + h * hd:d + (h + 1) * hd] = dk.astype(
+                dqkv_ref.dtype)
+            dqkv_ref[b, :, 2 * d + h * hd:2 * d + (h + 1) * hd] = dv.astype(
+                dqkv_ref.dtype)
+
+
+def _mqkv_pallas(qkv, mask, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_mqkv_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((s, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * s * s * (d // heads),
+            bytes_accessed=b * s * 4 * d * 2 + s * s * 4,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv, mask)
+
+
+def _mqkv_bwd_pallas(qkv, mask, g, scale, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    return pl.pallas_call(
+        functools.partial(_mqkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((s, s), lambda i: (0, 0)),
+            pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, s, d3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * heads * s * s * (d // heads),
+            bytes_accessed=2 * b * s * d3 * 2 + b * s * d * 2 + s * s * 4,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv, mask, g)
+
+
+def _mqkv_xla(qkv, mask, scale, heads):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, s, heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, s, heads, hd)
+    sarr = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale + mask[None, None]
+    p = jax.nn.softmax(sarr, axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_masked_qkv_attention(qkv, mask, scale, heads):
+    """Additive-mask self-attention off the packed qkv tensor:
+    ``(B,S,3D), (S,S) -> (B,S,D)`` — the CLIP text tower's causal path
+    (reference clip.py build_attention_mask). Pallas on TPU, XLA elsewhere;
+    the mask is a shared static tile (no gradient)."""
+    if _on_tpu():
+        return _mqkv_pallas(qkv, mask.astype(jnp.float32), scale, heads)
+    return _mqkv_xla(qkv, mask, scale, heads)
+
+
+def _mqkv_fwd(qkv, mask, scale, heads):
+    return fused_masked_qkv_attention(qkv, mask, scale, heads), (qkv, mask)
+
+
+def _mqkv_bwd(scale, heads, res, g):
+    qkv, mask = res
+    if _on_tpu():
+        return (_mqkv_bwd_pallas(qkv, mask.astype(jnp.float32), g, scale,
+                                 heads), None)
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    q = qkv[..., :d].reshape(b, s, heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, s, heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, s, heads, hd)
+    go = g.reshape(b, s, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale + mask[None, None]
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = go.astype(jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32).astype(v.dtype)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", dl, k.astype(jnp.float32))
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bqhd->bkhd", dl, q.astype(jnp.float32))
+          * scale).astype(k.dtype)
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, s, d), dk.reshape(b, s, d), dv.reshape(b, s, d)],
+        axis=-1,
+    )
+    return (dqkv, None)
+
+
+fused_masked_qkv_attention.defvjp(_mqkv_fwd, _mqkv_bwd)
+
+
 def _pad_to(x, axis, mult):
     pad = (-x.shape[axis]) % mult
     if pad == 0:

@@ -104,3 +104,39 @@ def test_fused_prefix_attention_grads_match_autodiff():
     )(qkv, pk, pv)
     for a, bb in zip(g_c, g_r):
         assert np.allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
+
+
+def test_fused_masked_qkv_attention_matches_xla():
+    from libcontinual_tpu.ops.attention import (
+        fused_masked_qkv_attention, _mqkv_xla)
+
+    rng = np.random.RandomState(6)
+    b, s, h, hd = 2, 6, 2, 8
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)  # causal
+    scale = 1.0 / np.sqrt(hd)
+    out = fused_masked_qkv_attention(qkv, mask, scale, h)
+    ref = _mqkv_xla(qkv, mask, scale, h)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # causality: row 0 attends only to itself -> output equals v head slice
+    v0 = np.asarray(qkv[:, 0, 2 * d:])
+    assert np.allclose(np.asarray(out[:, 0]), v0, atol=1e-5)
+
+
+def test_fused_masked_qkv_attention_grad_matches_autodiff():
+    from libcontinual_tpu.ops.attention import (
+        fused_masked_qkv_attention, _mqkv_xla)
+
+    rng = np.random.RandomState(7)
+    b, s, h, hd = 1, 5, 2, 4
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(b, s, 3 * d), jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)
+    scale = 0.29
+
+    g_c = jax.grad(
+        lambda x: jnp.sum(fused_masked_qkv_attention(x, mask, scale, h) ** 2)
+    )(qkv)
+    g_r = jax.grad(lambda x: jnp.sum(_mqkv_xla(x, mask, scale, h) ** 2))(qkv)
+    assert np.allclose(np.asarray(g_c), np.asarray(g_r), atol=1e-4)
