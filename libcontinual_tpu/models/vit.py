@@ -36,6 +36,7 @@ from flax import linen as nn
 
 from libcontinual_tpu.ops.attention import (
     attention_bshd,
+    fused_kernels_ok,
     fused_masked_qkv_attention,
     fused_prefix_attention,
     fused_qkv_attention,
@@ -110,22 +111,20 @@ class ViTAttention(nn.Module):
             qkv = qkv + jnp.einsum(
                 "bsd,de->bse", x, qkv_delta.astype(self.dtype)
             )
-        import os
-
-        attn_env = os.environ.get("LIBCONTINUAL_ATTN")
-        # pallas_call has no SPMD partitioning rule, so the fused kernel is
-        # single-device only unless explicitly forced (multi-chip meshes take
-        # the XLA path, which GSPMD partitions fine)
-        fused_ok = jax.device_count() == 1 or attn_env == "fused"
+        # pallas_call has no SPMD partitioning rule, so the fused kernels
+        # engage only when the active mesh spans one device (the trainer
+        # records its mesh size; LIBCONTINUAL_ATTN=fused/xla overrides) —
+        # multi-chip meshes take the XLA path, which GSPMD partitions fine
+        fused_ok = fused_kernels_ok()
         if prefix_kv is None and attn_mask is None and d % h == 0 \
-                and attn_env != "xla" and fused_ok:
+                and fused_ok:
             # pure self-attention: fused path straight off the packed qkv
             # tensor (Pallas kernel on TPU — head split as in-kernel lane
             # slices, VMEM score tile; see ops/attention.py)
             o = fused_qkv_attention(qkv, 1.0 / np.sqrt(hd), h)
             return nn.Dense(d, dtype=self.dtype, name="proj")(o)
         if prefix_kv is not None and attn_mask is None and d % h == 0 \
-                and attn_env != "xla" and fused_ok:
+                and fused_ok:
             # prefix-KV (DualPrompt/CODA/DAP): prompt concat done per head
             # in VMEM inside the same fused kernel family
             pk, pv = prefix_kv
@@ -135,7 +134,7 @@ class ViTAttention(nn.Module):
             )
             return nn.Dense(d, dtype=self.dtype, name="proj")(o)
         if prefix_kv is None and attn_mask is not None and d % h == 0 \
-                and attn_mask.ndim == 2 and attn_env != "xla" and fused_ok:
+                and attn_mask.ndim == 2 and fused_ok:
             # additive-mask path (CLIP text tower causal mask) through the
             # fused kernel family — masked scores stay in VMEM
             o = fused_masked_qkv_attention(

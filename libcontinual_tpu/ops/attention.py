@@ -51,6 +51,43 @@ def _xla_attention(q, k, v, scale):
 # ---------------------------------------------------------------- fused qkv
 
 
+# How many devices the active computation spans. The trainer records its
+# mesh size here so the fused-kernel gate reflects the mesh in use, not the
+# host's global device count (a single-device run on an 8-chip host should
+# still get the Pallas kernels). None = unknown -> fall back to
+# jax.device_count() as the conservative signal.
+_ACTIVE_MESH_DEVICES = None
+
+
+def set_active_mesh_devices(n) -> None:
+    global _ACTIVE_MESH_DEVICES
+    _ACTIVE_MESH_DEVICES = None if n is None else int(n)
+
+
+def fused_kernels_ok() -> bool:
+    """True when the packed-qkv Pallas kernels may be used: the computation
+    spans one device (pallas_call has no SPMD partitioning rule), or the
+    user forces them with ``LIBCONTINUAL_ATTN=fused`` (e.g. under
+    shard_map)."""
+    import os
+
+    env = os.environ.get("LIBCONTINUAL_ATTN")
+    if env == "fused":
+        return True
+    if env == "xla":
+        return False
+    n = _ACTIVE_MESH_DEVICES
+    if n is None:
+        n = jax.device_count()
+    return n == 1
+
+
+def _batch_tile(b: int, per_image_bytes: int, budget: int = 8 * 2**20) -> int:
+    """Images per kernel program: 2 when a pair fits the VMEM budget
+    (block in/out + f32 score tiles, dtype-aware), else 1."""
+    return 2 if (b % 2 == 0 and 2 * per_image_bytes <= budget) else 1
+
+
 def _qkv_kernel(qkv_ref, o_ref, *, scale, heads, bt):
     """One program: ``bt`` images, all heads. The head split is a set of
     STATIC LANE SLICES of the packed (S, 3*D) qkv block — the (b,s,h,hd)
@@ -85,7 +122,8 @@ def _qkv_attention_pallas(qkv, scale, heads):
 
     b, s, d3 = qkv.shape
     d = d3 // 3
-    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, s * (d3 + d) * it + 2 * s * s * 4)
     return pl.pallas_call(
         functools.partial(_qkv_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),
@@ -123,8 +161,10 @@ def fused_qkv_attention(qkv, scale, heads):
     it also subsumes the relayout copies XLA emits around the reshape);
     plain XLA on CPU. Backward recomputes probabilities via XLA einsums
     (flash-style; nothing S x S is saved), so the op is safe to
-    differentiate anywhere. Only for pure self-attention — prefix-KV and
-    masked paths use :func:`attention_bshd`."""
+    differentiate anywhere. Pure self-attention only — prefix-KV goes
+    through :func:`fused_prefix_attention` and additive masks through
+    :func:`fused_masked_qkv_attention`; `attention_bshd` remains the
+    GSPMD-partitionable multi-device path."""
     if _on_tpu():
         return _qkv_attention_pallas(qkv, scale, heads)
     return _qkv_attention_xla(qkv, scale, heads)
@@ -183,7 +223,8 @@ def _qkv_bwd_pallas(qkv, g, scale, heads):
 
     b, s, d3 = qkv.shape
     d = d3 // 3
-    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, s * (2 * d3 + d) * it + 2 * s * s * 4)
     return pl.pallas_call(
         functools.partial(_qkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),
@@ -371,7 +412,8 @@ def _pqkv_pallas(qkv, pk, pv, scale, heads):
     b, s, d3 = qkv.shape
     d = d3 // 3
     plen = pk.shape[1]
-    bt = 2 if (b % 2 == 0 and (s + plen) * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, (s * (d3 + d) + 2 * plen * d) * it + 2 * s * (s + plen) * 4)
     return pl.pallas_call(
         functools.partial(_pqkv_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),
@@ -400,7 +442,8 @@ def _pqkv_bwd_pallas(qkv, pk, pv, g, scale, heads):
     b, s, d3 = qkv.shape
     d = d3 // 3
     plen = pk.shape[1]
-    bt = 2 if (b % 2 == 0 and (s + plen) * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, (s * (2 * d3 + d) + 4 * plen * d) * it + 2 * s * (s + plen) * 4)
     return pl.pallas_call(
         functools.partial(_pqkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),
@@ -581,7 +624,8 @@ def _mqkv_pallas(qkv, mask, scale, heads):
 
     b, s, d3 = qkv.shape
     d = d3 // 3
-    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, s * (d3 + d) * it + 3 * s * s * 4)
     return pl.pallas_call(
         functools.partial(_mqkv_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),
@@ -608,7 +652,8 @@ def _mqkv_bwd_pallas(qkv, mask, g, scale, heads):
 
     b, s, d3 = qkv.shape
     d = d3 // 3
-    bt = 2 if (b % 2 == 0 and s * d3 * 2 * 2 <= 8 * 2**20) else 1
+    it = qkv.dtype.itemsize
+    bt = _batch_tile(b, s * (2 * d3 + d) * it + 3 * s * s * 4)
     return pl.pallas_call(
         functools.partial(_mqkv_bwd_kernel, scale=scale, heads=heads, bt=bt),
         grid=(b // bt,),

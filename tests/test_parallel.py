@@ -65,9 +65,65 @@ def test_tp_matches_replicated_training(tiny_config):
         cfg["optimizer"] = {"name": "Adam", "kwargs": {"lr": 0.01}}
         tr = Trainer(cfg)
         results.append(np.asarray(tr.train_loop()["acc_table"]))
-    # f32 psum reduction order differs; tolerance covers that, not drift
-    assert np.allclose(results[0], results[1], atol=2.0), (
+    # f32 psum reduction order differs; tolerance covers one borderline
+    # example flip (acc quantum 0.625 on 160 test samples), not drift
+    diff = np.abs(results[0] - results[1])
+    assert diff.max() <= 1.5 and diff.mean() <= 0.5, (
         f"replicated vs tp acc tables diverged:\n{results[0]}\n{results[1]}"
+    )
+
+
+def test_tp_one_step_loss_matches_replicated(tiny_config):
+    """One train step, same batch, f32: the dp x tp loss must equal the
+    single-device loss to reduction-order noise — catches a dropped psum or
+    wrong partition spec at the loss level before training chaos hides it."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import libcontinual_tpu.methods  # noqa: F401 — populate registry
+    from libcontinual_tpu.parallel.mesh import make_mesh
+    from libcontinual_tpu.registry import METHODS
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "L2P",
+        "kwargs": {
+            "num_class": 8, "feat_dim": 64, "init_cls_num": 4,
+            "inc_cls_num": 4, "task_num": 2,
+            "prompt_pool": 4, "prompt_length": 2, "top_k": 2,
+        },
+    }
+    losses = []
+    for dp, tp in ((1, 1), (2, 2)):
+        mesh = make_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
+        method = METHODS.get("L2P")(cfg, mesh)
+        state = method.init_state(jax.random.PRNGKey(0), (32, 32, 3))
+        state = jax.device_put(state, mesh.param_sharding(state))
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": jax.device_put(
+                jnp.asarray(rng.randint(0, 255, (8, 32, 32, 3), np.uint8)),
+                NamedSharding(mesh.mesh, P("data")),
+            ),
+            "label": jax.device_put(
+                jnp.asarray(rng.randint(0, 4, (8,), np.int32)),
+                NamedSharding(mesh.mesh, P("data")),
+            ),
+            "weight": jax.device_put(
+                jnp.ones((8,), jnp.float32), NamedSharding(mesh.mesh, P("data"))
+            ),
+        }
+        tx = method._tx_for_task(0)
+        with mesh.mesh:
+            _, m = jax.jit(
+                lambda st, b: method.train_step(st, b, jnp.float32(1e-3), tx=tx)
+            )(state, batch)
+        losses.append(float(np.asarray(m["loss"])))
+    assert np.isfinite(losses).all()
+    assert abs(losses[0] - losses[1]) <= 1e-3 * max(1.0, abs(losses[0])), (
+        f"1x1 vs 2x2 one-step loss diverged: {losses}"
     )
 
 

@@ -74,7 +74,6 @@ def main():
             row = f"| {label} | FAIL {type(e).__name__}: {str(e)[:80]} |"
         print(row, flush=True)
         rows.append(row)
-    print("\n".join(rows))
 
 
 if __name__ == "__main__":
