@@ -193,7 +193,10 @@ class LinearSpiltBuffer(LinearBuffer):
         for c in np.unique(self.labels):
             idx = np.nonzero(self.labels == c)[0]
             rng.shuffle(idx)
-            n_val = max(1, int(len(idx) * self.split_ratio))
+            # at least one val exemplar per class, but never empty a class's
+            # train side (a 1-exemplar class stays in train)
+            n_val = max(1, int(len(idx) * self.split_ratio)) if len(idx) > 1 else 0
+            n_val = min(n_val, len(idx) - 1)
             val_idx.append(idx[:n_val])
             train_idx.append(idx[n_val:])
         tr, va = np.concatenate(train_idx), np.concatenate(val_idx)
@@ -203,6 +206,8 @@ class LinearSpiltBuffer(LinearBuffer):
             class_lo=int(self.labels[idx].min()),
             class_hi=int(self.labels[idx].max()) + 1,
         )
+        if len(va) == 0:
+            return mk(tr), None
         return mk(tr), mk(va)
 
 

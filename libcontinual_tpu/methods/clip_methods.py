@@ -29,7 +29,7 @@ import numpy as np
 
 from libcontinual_tpu.core.method import Method, masked_cross_entropy
 from libcontinual_tpu.core.state import TrainState, make_masks
-from libcontinual_tpu.methods.common import batch_iter, copy_tree
+from libcontinual_tpu.methods.common import batch_iter, copy_tree, normalized
 from libcontinual_tpu.models.tokenizer import tokenize
 from libcontinual_tpu.registry import METHODS
 
@@ -314,7 +314,7 @@ class RAPF(CLIPMethod):
                 t=toks,
             )
             f = out[0]
-            return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+            return normalized(f, eps=1e-8)
 
         mvars = dict(state.mvars)
         mvars["text_feats"] = text_feats(state.mvars["frozen"], toks)
@@ -338,11 +338,11 @@ class RAPF(CLIPMethod):
 
     def _adapted(self, params, f):
         g = f @ params["adapter"]["kernel"] + params["adapter"]["bias"]
-        return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-8)
+        return normalized(g, eps=1e-8)
 
     def loss(self, params, state, batch, rng):
         f = self._image_feats(state.mvars, batch["x"])
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k2 = rng  # single stochastic draw: the Gaussian replay noise
         # neighbor-aware mixing: blend features toward the text feature of
         # the nearest *other* seen class (rapf.py's feature adjustment)
         tf = state.mvars["text_feats"]

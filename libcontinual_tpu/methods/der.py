@@ -124,7 +124,29 @@ class DER(Method):
         # with the number of created nets (reference der.py:90-134)
         bb = jax.tree_util.tree_map(lambda p: p[:n], params["backbone"])
         bst = jax.tree_util.tree_map(lambda s: s[:n], state.mvars["model_state"])
-        feats, new_model_state = self._stack_apply(bb, bst, batch["x"], train=True)
+        if n > 1:
+            # frozen old extractors run in EVAL mode (running BN stats, as the
+            # reference keeps frozen nets in .eval(); der.py:90-134) — only
+            # the newest extractor trains with batch statistics
+            old_bb = jax.tree_util.tree_map(lambda p: p[: n - 1], bb)
+            old_bst = jax.tree_util.tree_map(lambda s: s[: n - 1], bst)
+            new_bb = jax.tree_util.tree_map(lambda p: p[n - 1 : n], bb)
+            new_bst = jax.tree_util.tree_map(lambda s: s[n - 1 : n], bst)
+            old_feats, _ = self._stack_apply(
+                old_bb, old_bst, batch["x"], train=False
+            )
+            new_feats, new_tail_state = self._stack_apply(
+                new_bb, new_bst, batch["x"], train=True
+            )
+            feats = jnp.concatenate([old_feats, new_feats], axis=1)  # (B,n,D)
+            new_model_state = jax.tree_util.tree_map(
+                lambda old, tail: jnp.concatenate([old, tail], axis=0),
+                old_bst, new_tail_state,
+            )
+        else:
+            feats, new_model_state = self._stack_apply(
+                bb, bst, batch["x"], train=True
+            )
         flat = feats.reshape(feats.shape[0], -1)  # (B, n*D)
         flat = jnp.pad(flat, ((0, 0), (0, (self.task_num - n) * self.feat_dim)))
         logits = self._fc.apply({"params": params["head"]}, flat)
@@ -154,16 +176,27 @@ class DER(Method):
             state = state.replace(mvars=mvars)
         return state
 
-    def transform_grads(self, grads, state):
+    def _stack_onehot_mask(self, tree):
         onehot = (
             jnp.arange(self.task_num) == (self._n_active() - 1)
         ).astype(jnp.float32)
-        grads = dict(grads)
-        grads["backbone"] = jax.tree_util.tree_map(
-            lambda g: g * onehot.reshape((-1,) + (1,) * (g.ndim - 1)),
-            grads["backbone"],
+        return jax.tree_util.tree_map(
+            lambda g: g * onehot.reshape((-1,) + (1,) * (g.ndim - 1)), tree
         )
+
+    def transform_grads(self, grads, state):
+        grads = dict(grads)
+        grads["backbone"] = self._stack_onehot_mask(grads["backbone"])
         return grads
+
+    def transform_updates(self, updates, state):
+        # weight decay (optax.add_decayed_weights inside the tx chain) adds
+        # wd*param to EVERY update after the grad mask — without this mask the
+        # frozen old extractors would decay toward zero over a task's steps
+        # (the reference never touches frozen nets, der.py:90-134)
+        updates = dict(updates)
+        updates["backbone"] = self._stack_onehot_mask(updates["backbone"])
+        return updates
 
     # ------------------------------------------------------------- hooks
 

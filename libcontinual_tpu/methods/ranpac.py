@@ -34,6 +34,19 @@ from libcontinual_tpu.registry import METHODS
 RIDGE_GRID = tuple(10.0**p for p in range(-8, 9))  # reference ranpac.py:253
 
 
+@jax.jit
+def _holdout_mse(lam, Qf, Gf, Qh, Gh, ysq, n_ho, num_class):
+    eye = jnp.eye(Gf.shape[0], dtype=Gf.dtype)
+    Wo = jnp.linalg.solve(Gf + lam * eye, Qf)
+    sse = jnp.sum((Gh @ Wo) * Wo) - 2.0 * jnp.sum(Wo * Qh) + ysq
+    return sse / jnp.maximum(n_ho * num_class, 1.0)
+
+
+@jax.jit
+def _ridge_solve(G, Q, lam):
+    return jnp.linalg.solve(G + lam * jnp.eye(G.shape[0], dtype=G.dtype), Q)
+
+
 def ridge_sweep(Qf, Gf, Qh, Gh, ysq, n_ho, num_class):
     """Pick the ridge lambda by held-out MSE (reference ranpac.py:253-263).
 
@@ -42,16 +55,16 @@ def ridge_sweep(Qf, Gf, Qh, Gh, ysq, n_ho, num_class):
     ``mean((H_ho Wo - Y_ho)^2) = (tr(Wo^T G_ho Wo) - 2 tr(Wo^T Q_ho)
     + ||Y_ho||^2) / (n_ho * C)`` — identical to the reference's explicit
     prediction MSE, without materialising features.  Returns (lam, errs).
+    The jitted solver is module-level, so the M x M programs compile once
+    per process, not once per task.
     """
-    eye = jnp.eye(Gf.shape[0], dtype=Gf.dtype)
-
-    @jax.jit
-    def holdout_mse(lam):
-        Wo = jnp.linalg.solve(Gf + lam * eye, Qf)
-        sse = jnp.sum((Gh @ Wo) * Wo) - 2.0 * jnp.sum(Wo * Qh) + ysq
-        return sse / jnp.maximum(n_ho * num_class, 1.0)
-
-    errs = [float(holdout_mse(jnp.float32(lam))) for lam in RIDGE_GRID]
+    errs = [
+        float(_holdout_mse(
+            jnp.float32(lam), Qf, Gf, Qh, Gh, ysq, n_ho,
+            jnp.float32(num_class),
+        ))
+        for lam in RIDGE_GRID
+    ]
     return RIDGE_GRID[int(np.argmin(errs))], errs
 
 
@@ -68,7 +81,9 @@ class RanPAC(Method):
         )
 
     def epochs_for_task(self, task_idx, default):
-        return default if task_idx == 0 else 0  # first-session-only training
+        # first-session-only training; first_session_epochs overrides the
+        # trainer's epoch count for session 0 (reference ranpac.py:176-180)
+        return self.first_session_epochs if task_idx == 0 else 0
 
     def init_mvars(self, rng, params, model_state):
         k1, _ = jax.random.split(rng)
@@ -99,32 +114,40 @@ class RanPAC(Method):
         # (Q_fit, G_fit, Q_ho, G_ho, ||Y_ho||^2, n_ho) for the current task
         carry = (zQ, zG, zQ, zG, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
-        @jax.jit
-        def accum(state, carry, images, labels, weight, offset):
-            Qf, Gf, Qh, Gh, ysq, nh = carry
-            x = self.augment(None, images, train=False)
-            out, _ = self.apply_backbone(
-                state.params, state.mvars["model_state"], x, train=False
-            )
-            h = jax.nn.relu(out["features"] @ state.mvars["W_rand"]) * weight[:, None]
-            y = jax.nn.one_hot(labels, C) * weight[:, None]
-            # 80/20 fit/held-out split by global sample position (the
-            # reference splits the shuffled loader order 80/20,
-            # ranpac.py:254-258 — position-hashing is the same statistics
-            # without materialising the feature matrix)
-            idx = offset + jnp.arange(h.shape[0])
-            hold = ((idx % 5) == 0).astype(jnp.float32) * weight
-            fit = weight - hold
-            hf, yf = h * fit[:, None], y * fit[:, None]
-            hh, yh = h * hold[:, None], y * hold[:, None]
-            return (
-                Qf + hf.T @ yf,
-                Gf + hf.T @ hf,
-                Qh + hh.T @ yh,
-                Gh + hh.T @ hh,
-                ysq + jnp.sum(yh**2),
-                nh + jnp.sum(hold),
-            )
+        accum = getattr(self, "_accum_jit", None)
+        if accum is None:
+            # jitted once per method instance — the M x M Gram einsum would
+            # otherwise recompile at every task boundary
+
+            @jax.jit
+            def accum(state, carry, images, labels, weight, offset):
+                Qf, Gf, Qh, Gh, ysq, nh = carry
+                x = self.augment(None, images, train=False)
+                out, _ = self.apply_backbone(
+                    state.params, state.mvars["model_state"], x, train=False
+                )
+                h = (jax.nn.relu(out["features"] @ state.mvars["W_rand"])
+                     * weight[:, None])
+                y = jax.nn.one_hot(labels, C) * weight[:, None]
+                # 80/20 fit/held-out split by global sample position (the
+                # reference splits the shuffled loader order 80/20,
+                # ranpac.py:254-258 — position-hashing is the same statistics
+                # without materialising the feature matrix)
+                idx = offset + jnp.arange(h.shape[0])
+                hold = ((idx % 5) == 0).astype(jnp.float32) * weight
+                fit = weight - hold
+                hf, yf = h * fit[:, None], y * fit[:, None]
+                hh, yh = h * hold[:, None], y * hold[:, None]
+                return (
+                    Qf + hf.T @ yf,
+                    Gf + hf.T @ hf,
+                    Qh + hh.T @ yh,
+                    Gh + hh.T @ hh,
+                    ysq + jnp.sum(yh**2),
+                    nh + jnp.sum(hold),
+                )
+
+            self._accum_jit = accum
 
         offset = 0
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
@@ -137,13 +160,9 @@ class RanPAC(Method):
 
         best_lam, _ = ridge_sweep(Qf, Gf, Qh, Gh, ysq, nh, C)
 
-        @jax.jit
-        def solve(lam):
-            return jnp.linalg.solve(G + lam * jnp.eye(M), Q)
-
         mvars = dict(state.mvars)
         mvars["Q"], mvars["G"] = Q, G
-        mvars["Wo"] = solve(jnp.float32(best_lam))
+        mvars["Wo"] = _ridge_solve(G, Q, jnp.float32(best_lam))
         mvars["rp_ready"] = jnp.ones((), jnp.float32)
         return state.replace(mvars=mvars)
 

@@ -89,6 +89,41 @@ def test_lucir(tiny_config):
     assert mask[:4].sum() == 0 and mask[4:8].sum() == 4
 
 
+def test_der_frozen_extractor_untouched_by_weight_decay(tiny_config):
+    """Old extractors must be bit-frozen even under optimizer weight decay
+    (reference never touches frozen nets, der.py:90-134): grads are masked
+    BEFORE tx.update, so add_decayed_weights would otherwise reintroduce
+    wd*param updates for the frozen stack."""
+    import jax
+
+    cfg = make_cfg(tiny_config, "DER", buffer_size=32)
+    cfg["optimizer"] = {
+        "name": "SGD", "kwargs": {"lr": 0.05, "momentum": 0.9,
+                                  "weight_decay": 5e-4},
+    }
+    tr = Trainer(cfg)
+    # snapshot extractor 0 after task 0 finishes, before task 1 trains
+    snaps = {}
+    orig_before = tr.method.before_task
+
+    def spy(state, task_idx, task_data):
+        if task_idx == 1:
+            snaps["t0"] = jax.tree_util.tree_map(
+                lambda p: np.array(p[0]), state.params["backbone"]
+            )
+        return orig_before(state, task_idx, task_data)
+
+    tr.method.before_task = spy
+    tr.train_loop()
+    after = jax.tree_util.tree_map(
+        lambda p: np.asarray(p[0]), tr.state.params["backbone"]
+    )
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), snaps["t0"], after
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
 def test_der(tiny_config):
     cfg = make_cfg(tiny_config, "DER", buffer_size=32)
     tr, res = run(cfg)
