@@ -64,7 +64,7 @@ def balanced_add(buf: Dict, images, labels, tasks, weight, rng, num_class: int):
 
     def body(i, carry):
         bx, by, bt, n_seen, key = carry
-        key, k1, k2 = jax.random.split(key, 3)
+        key, k1 = jax.random.split(key)
         filled = jnp.minimum(n_seen, cap)
         slot_valid = jnp.arange(cap) < filled
         counts = jnp.sum(
@@ -82,7 +82,6 @@ def balanced_add(buf: Dict, images, labels, tasks, weight, rng, num_class: int):
         by = jnp.where(do_add, by.at[idx].set(labels[i]), by)
         bt = jnp.where(do_add, bt.at[idx].set(tasks[i]), bt)
         n_seen = n_seen + do_add.astype(jnp.int32)
-        del k2
         return bx, by, bt, n_seen, key
 
     bx, by, bt, n_seen, _ = jax.lax.fori_loop(
@@ -126,6 +125,9 @@ class _ERBase(Method):
         self.capacity = int(buf_kwargs.get("buffer_size", 1000))
         self.replay_amt = 10  # reference erace.py:63-66
         self.use_augs = bool(self.kwargs.get("use_augs", False))
+        # reference erace.py:87-88, 93: with task_free the masked/asymmetric
+        # losses and buffer replay engage from task 0
+        self.task_free = bool(self.kwargs.get("task_free", False))
         # 'reservoir' (default) or 'balanced' insertion; 'balanced' sampling
         self.buffer_add = str(buf_kwargs.get("strategy", "reservoir"))
         self.balanced_sampling = bool(buf_kwargs.get("balanced_sampling", False))
@@ -211,7 +213,12 @@ class ERACE(_ERBase):
         rx, ry, rw = self.sample_replay(state.mvars["buffer"], k1, self.replay_amt)
         rx = self.augment(k2, rx, train=True)
         r_logits, _, _ = self.forward(params, state.mvars["model_state"], rx, train=True)
-        replay_on = (state.mvars["buffer"]["n_seen"] > 0).astype(jnp.float32)
+        # reference erace.py:93: replay needs buffer content AND
+        # (task > 0 or task_free)
+        gate = jnp.where(state.task > 0, 1.0, 1.0 if self.task_free else 0.0)
+        replay_on = gate * (
+            state.mvars["buffer"]["n_seen"] > 0
+        ).astype(jnp.float32)
         re_ce = masked_cross_entropy(r_logits, ry, rw)
         loss = ce + replay_on * re_ce
         return loss, {"logits": logits, "model_state": new_ms}
@@ -271,7 +278,7 @@ class ERAML(_ERBase):
         w = batch.get("weight")
         ce = masked_cross_entropy(logits, batch["label"], w, state.seen_mask)
 
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
         buf = state.mvars["buffer"]
         pos_idx, neg_idx, ok = self._mine(buf, batch["label"], state.task, k1)
         pos_src, pos_y_src = buf["bx"][pos_idx], buf["by"][pos_idx]
@@ -319,8 +326,26 @@ class ERAML(_ERBase):
         supcon = -(self.temperature / 0.07) * mlpp
         supcon = jnp.sum(supcon * ok2) / jnp.maximum(jnp.sum(ok2), 1.0)
 
-        use_supcon = jnp.where(state.task > 0, 1.0, 0.0) * (
-            state.mvars["buffer"]["n_seen"] > 0
-        ).astype(jnp.float32)
+        has_buf = (state.mvars["buffer"]["n_seen"] > 0).astype(jnp.float32)
+        # reference eraml.py:122: supcon branch when t > 0 or
+        # (task_free and buffer non-empty)
+        task_gate = jnp.where(state.task > 0, 1.0, 0.0)
+        use_supcon = (
+            jnp.maximum(task_gate, has_buf) if self.task_free
+            else task_gate * has_buf
+        )
         loss = jnp.where(use_supcon > 0, supcon, ce)
+
+        # replay CE on a random buffer sample — the ONLY term training the
+        # classifier head once the supcon branch engages
+        # (reference eraml.py:171-175: loss += F.cross_entropy(re_logits, y))
+        rx, ry, rw = self.sample_replay(state.mvars["buffer"], k5, self.replay_amt)
+        rx = self.augment(k6, rx, train=True)
+        r_logits, _, _ = self.forward(
+            params, state.mvars["model_state"], rx, train=True
+        )
+        re_ce = masked_cross_entropy(r_logits, ry, rw)
+        replay_gate = jnp.where(state.task > 0, 1.0,
+                                1.0 if self.task_free else 0.0)
+        loss = loss + replay_gate * has_buf * re_ce
         return loss, {"logits": logits, "model_state": new_ms}

@@ -89,6 +89,11 @@ class GPM(Method):
     # ------------------------------------------------------- subspace growth
 
     def _activation_mats(self, state, task_data) -> List[np.ndarray]:
+        # capture with the RAW base weights (no TRGP scale reparameterization):
+        # the reference disables scale params BEFORE its representation pass
+        # (reference trgp.py:326-328 disable_scale -> capture; alexnet.py:29-32
+        # drops scales without merging), so raw-weight activations are the
+        # parity-correct input to the subspace SVDs
         rng = np.random.RandomState(int(self.config.get("seed", 0)))
         idx = rng.permutation(len(task_data))[: self.n_sample]
         images = jnp.asarray(task_data.images[idx])

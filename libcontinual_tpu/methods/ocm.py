@@ -249,13 +249,15 @@ class OCM(Method):
         t_logits, _, _ = self.forward(
             state.mvars["teacher"], state.mvars["teacher_state"], mem_aug, train=False
         )
-        mse = jnp.mean(
-            (
-                (m_logits - jax.lax.stop_gradient(t_logits))
-                * state.prev_mask[None, :]
-            )
-            ** 2
-        )
+        # F.mse_loss over the prev_cls_num columns ONLY (ocm.py:978-980):
+        # averaging over all num_class columns would shrink the distillation
+        # strength by n_prev/num_class
+        sq = (
+            (m_logits - jax.lax.stop_gradient(t_logits))
+            * state.prev_mask[None, :]
+        ) ** 2
+        n_prev = jnp.maximum(jnp.sum(state.prev_mask), 1.0)
+        mse = jnp.sum(sq) / (m_logits.shape[0] * n_prev)
 
         on_replay = jnp.where(
             (state.task > 0) & (buf["n_seen"] > 0), 1.0, 0.0

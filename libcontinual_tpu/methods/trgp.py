@@ -27,11 +27,9 @@ import numpy as np
 
 from libcontinual_tpu.core.method import Method, masked_cross_entropy
 from libcontinual_tpu.methods.common import batch_iter
-from libcontinual_tpu.methods.gpm import GPM
+from libcontinual_tpu.methods.gpm import GPM, PROJ_LAYERS
 from libcontinual_tpu.models.alexnet import CONV_SPECS, LAYER_IN_FLAT, conv_patches
 from libcontinual_tpu.registry import METHODS
-
-PROJ_LAYERS = ["conv0_kernel", "conv1_kernel", "conv2_kernel", "fc3_kernel", "fc4_kernel"]
 
 
 @METHODS.register("TRGP")

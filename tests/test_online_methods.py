@@ -47,6 +47,41 @@ def test_eraml(tiny_config):
     assert int(tr.state.mvars["buffer"]["n_seen"]) > 0
 
 
+def test_eraml_head_trains_on_incremental_task(tiny_config):
+    """The replay CE term (reference eraml.py:171-175) is the only loss
+    component that reaches the classifier head once the supcon branch
+    engages — task-1 head columns must move away from their values at the
+    start of task 1."""
+    import jax
+
+    cfg = base_cfg(tiny_config, "ERAML",
+                   {"use_augs": False, "task_free": False,
+                    "supcon_temperature": 0.1, "use_minimal_selection": False})
+    tr = Trainer(cfg)
+    snaps = {}
+    orig_before = tr.method.before_task
+
+    def spy(state, task_idx, task_data):
+        if task_idx == 1:
+            snaps["head"] = jax.tree_util.tree_map(
+                np.array, state.params["head"]
+            )
+        return orig_before(state, task_idx, task_data)
+
+    tr.method.before_task = spy
+    tr.train_loop()
+    before = np.concatenate([
+        x.ravel() for x in jax.tree_util.tree_leaves(snaps["head"])
+    ])
+    after = np.concatenate([
+        np.asarray(x).ravel()
+        for x in jax.tree_util.tree_leaves(tr.state.params["head"])
+    ])
+    assert np.abs(after - before).max() > 1e-6, (
+        "classifier head frozen during task 1 — replay CE missing"
+    )
+
+
 def test_ocm(tiny_config):
     cfg = base_cfg(tiny_config, "OCM", {"buffer_batch_size": 16, "feat_dim": 32})
     cfg["batch_size"] = 8  # 16x rotation expansion keeps the step small
