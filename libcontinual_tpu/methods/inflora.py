@@ -150,7 +150,13 @@ class InfLoRAOPT(InfLoRA):
         self.ca_epochs = int(self.kwargs.get("ca_epochs", 5))
         self.n_sample_per_class = int(self.kwargs.get("num_sampled_pcls", 256))
         self._class_means = np.zeros((self.num_class, self.embed_dim), np.float32)
-        self._class_covs = np.zeros((self.num_class, self.embed_dim), np.float32)
+        # FULL per-class covariance Cholesky factors (reference
+        # InfLoRA_opt.py:397: torch.cov in f64 + 1e-4 I, sampled through
+        # MultivariateNormal) — diagonal variance loses the feature
+        # correlations the compact classifier is meant to align against
+        self._class_chol = np.zeros(
+            (self.num_class, self.embed_dim, self.embed_dim), np.float32
+        )
         self._seen = np.zeros((self.num_class,), bool)
 
     def after_task(self, state, task_idx, task_data):
@@ -172,26 +178,40 @@ class InfLoRAOPT(InfLoRA):
         feats = np.concatenate(feats_all)
         labels = np.concatenate(labels_all)
         for c in np.unique(labels):
-            fc = feats[labels == c]
+            fc = feats[labels == c].astype(np.float64)
             self._class_means[c] = fc.mean(0)
-            self._class_covs[c] = fc.var(0) + 1e-4
+            cov = np.cov(fc.T) + np.eye(self.embed_dim) * 1e-4
+            self._class_chol[c] = np.linalg.cholesky(cov).astype(np.float32)
             self._seen[c] = True
         if task_idx > 0:
             state = self._compact_classifier(state, task_idx)
         return state
 
     def _compact_classifier(self, state, task_idx):
-        """Retrain the head on features sampled from the class Gaussians."""
+        """Retrain the head on features sampled from the class Gaussians —
+        reference-exact protocol (InfLoRA_opt.py:400-458): SGD lr 0.01
+        momentum 0.9 wd 5e-4 with cosine annealing over 5 epochs;
+        num_sample=256 per class drawn from the FULL-covariance Gaussian
+        (via the stored Cholesky factor) with the per-task mean scaling
+        0.9 + (task_id+1)/(task_idx+1)*0.1; all classes' samples shuffled
+        together and consumed in mixed 256-sized batches."""
         import optax
 
         rng = np.random.RandomState(task_idx)
         seen = np.nonzero(self._seen)[0]
         head = {k: jnp.asarray(np.array(v)) for k, v in state.params["head"]["Dense_0"].items()}
-        tx = optax.sgd(0.01, momentum=0.9)
+        n = self.n_sample_per_class
+        epochs = self.ca_epochs
+        steps_per_epoch = len(seen)
+        sched = optax.cosine_decay_schedule(0.01, epochs)
+        tx = optax.chain(
+            optax.add_decayed_weights(5e-4),
+            optax.sgd(1.0, momentum=0.9),
+        )
         opt = tx.init(head)
 
         @jax.jit
-        def step(head, opt, x, y):
+        def step(head, opt, x, y, lr):
             def lfn(h):
                 logits = x @ h["kernel"] + h["bias"]
                 mask = jnp.asarray(self._seen, jnp.float32)
@@ -199,17 +219,32 @@ class InfLoRAOPT(InfLoRA):
 
             loss, g = jax.value_and_grad(lfn)(head)
             up, opt = tx.update(g, opt, head)
+            up = jax.tree_util.tree_map(lambda u: -lr * u, up)
             return optax.apply_updates(head, up), opt, loss
 
-        n = min(self.n_sample_per_class, 64)
-        for _ in range(self.ca_epochs):
-            order = rng.permutation(seen)
-            for c in order:
-                x = rng.randn(n, self.embed_dim).astype(np.float32) * np.sqrt(
-                    self._class_covs[c]
-                ) + self._class_means[c]
-                y = np.full((n,), c, np.int32)
-                head, opt, _ = step(head, opt, jnp.asarray(x), jnp.asarray(y))
+        cls_of = {int(c): int(np.searchsorted(
+            np.cumsum([self.init_cls_num]
+                      + [self.inc_cls_num] * (self.task_num - 1)), c,
+            side="right")) for c in seen}
+        for ep in range(epochs):
+            xs, ys = [], []
+            for c in seen:
+                decay = (cls_of[int(c)] + 1) / (task_idx + 1) * 0.1
+                mean = self._class_means[c] * (0.9 + decay)
+                z = rng.randn(n, self.embed_dim).astype(np.float32)
+                xs.append(z @ self._class_chol[c].T + mean)
+                ys.append(np.full((n,), c, np.int32))
+            xs = np.concatenate(xs)
+            ys = np.concatenate(ys)
+            perm = rng.permutation(len(ys))
+            xs, ys = xs[perm], ys[perm]
+            lr = float(sched(ep))
+            for i in range(steps_per_epoch):
+                sl = slice(i * n, (i + 1) * n)
+                head, opt, _ = step(
+                    head, opt, jnp.asarray(xs[sl]), jnp.asarray(ys[sl]),
+                    jnp.float32(lr),
+                )
         params = jax.tree_util.tree_map(lambda x: x, state.params)
         params["head"] = {"Dense_0": dict(head)}
         return state.replace(params=params)

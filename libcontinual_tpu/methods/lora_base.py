@@ -67,7 +67,9 @@ class LoRAViTMethod(Method):
         vit_vars["params"] = maybe_load_pretrained(vit_vars["params"], self.config)
         from libcontinual_tpu.models.heads import LinearHead
 
-        self._head = LinearHead(self.num_class)
+        # honor the head_module() hook (CL-LoRA's CosineLinear, reference
+        # CosineLinearFeature); plain linear otherwise
+        self._head = self.head_module() or LinearHead(self.num_class)
         head_params = self._head.init(
             k2, jnp.zeros((2, self.embed_dim), jnp.float32)
         )["params"]
@@ -130,6 +132,13 @@ class LoRAViTMethod(Method):
         )
         return out
 
+    def cov_features(self, state, x):
+        """Forward used by the input-covariance pass; LoRAsub overrides this
+        with its subtraction forward."""
+        return self.vit_features(
+            state.params, state.mvars, x, train=False, capture=True
+        )
+
     def forward_logits(self, params, state, x, train):
         out = self.vit_features(params, state.mvars, x, train)
         return self._head.apply({"params": params["head"]}, out["features"])
@@ -147,10 +156,10 @@ class LoRAViTMethod(Method):
         """Which factor kinds receive gradients ('A', 'B')."""
         return ("A", "B")
 
-    def transform_grads(self, grads, state):
+    def _mask_lora_tree(self, tree, state):
         onehot = state.mvars["train_onehot"]  # (T,)
-        grads = jax.tree_util.tree_map(lambda x: x, grads)
-        lora = dict(grads["lora"])
+        tree = jax.tree_util.tree_map(lambda x: x, tree)
+        lora = dict(tree["lora"])
         kinds = self.trainable_lora()
         for key in list(lora.keys()):
             kind = key.split("_")[0]
@@ -162,14 +171,29 @@ class LoRAViTMethod(Method):
             else:
                 mask = onehot.reshape((1, -1) + (1,) * (g.ndim - 2))
                 lora[key] = g * mask
-        grads["lora"] = lora
-        return grads
+        tree["lora"] = lora
+        return tree
+
+    def transform_grads(self, grads, state):
+        return self._mask_lora_tree(grads, state)
+
+    def transform_updates(self, updates, state):
+        # optimizer weight decay (add_decayed_weights inside tx.update) would
+        # otherwise re-introduce wd*param updates for past-task LoRA factors
+        # AFTER the gradient mask — the reference freezes old adapters via
+        # requires_grad_(False), so they must stay bit-frozen here too (same
+        # leak class as DER's frozen-extractor decay). Delegating to the
+        # subclass's own transform_grads reuses its masking semantics; every
+        # override in this family is an idempotent elementwise mask.
+        return self.transform_grads(updates, state)
 
     # ------------------------------------------------------------- cov accum
 
-    def input_covariances(self, state, task_data, max_batches: int = 8) -> List[np.ndarray]:
+    def input_covariances(self, state, task_data, max_batches: int = 0) -> List[np.ndarray]:
         """Per-layer (d, d) attention-input covariances over the task data
-        (reference InfLoRA.py:152-160, vit_inflora.py:222-228)."""
+        (reference InfLoRA.py:152-160, vit_inflora.py:222-228 — the reference
+        iterates the ENTIRE task loader; ``max_batches`` (0 = all) exists for
+        tests only)."""
         bs = int(self.config["batch_size"])
         covs = [np.zeros((self.embed_dim, self.embed_dim), np.float64)
                 for _ in range(self.depth)]
@@ -177,7 +201,7 @@ class LoRAViTMethod(Method):
         @jax.jit
         def cov_step(state, images, weight):
             x = self.augment(None, images, train=False)
-            out = self.vit_features(state.params, state.mvars, x, train=False, capture=True)
+            out = self.cov_features(state, x)
             return [
                 jnp.einsum(
                     "bsd,bse->de",
@@ -193,7 +217,7 @@ class LoRAViTMethod(Method):
             for i, c in enumerate(outs):
                 covs[i] += np.asarray(c, np.float64)
             n += 1
-            if n >= max_batches:
+            if max_batches and n >= max_batches:
                 break
         return covs
 

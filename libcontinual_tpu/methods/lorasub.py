@@ -65,7 +65,9 @@ def augmented_triplet_loss(feats, labels, weight, protos, proto_valid, margin=1.
 
 @METHODS.register("LoRAsub_DRS", aliases=("LoRAsub",))
 class LoRAsubDRS(LoRAViTMethod):
-    lora_slots = ("q", "v")
+    # reference MultiHeadAttention_LoRA_Sub adapts k and v
+    # (transformer.py:359-424 "Attention module with lora, apply to k, v")
+    lora_slots = ("k", "v")
     validate_enabled = False  # reference trainer.py:367-377
 
     def __init__(self, config, mesh_ctx=None):
@@ -93,17 +95,39 @@ class LoRAsubDRS(LoRAViTMethod):
         }
 
     def transform_updates(self, updates, state):
+        # mask frozen-task factors first (weight-decay leak guard), then
+        # apply the DRS projection to the surviving current-task A updates
+        updates = super().transform_updates(updates, state)
         on = state.mvars["drs_on"]
         updates = jax.tree_util.tree_map(lambda x: x, updates)
         lora = dict(updates["lora"])
         for slot in self.lora_slots:
             # A: (L, T, r, d) — project along the feature dim with the
-            # layer's drift-resistant transform
+            # layer's drift-resistant transform (reference lora_sub.py:362-365
+            # registers the transform for BOTH lora_A and lora_B; Adam applies
+            # update_A @ T and T @ update_B)
             A = lora[f"A_{slot}"]
             proj = jnp.einsum("ltrd,lde->ltre", A, state.mvars["drs"])
             lora[f"A_{slot}"] = jnp.where(on > 0, proj, A)
+            # B: (L, T, d, r) — project along the output-feature dim
+            B = lora[f"B_{slot}"]
+            projB = jnp.einsum("lde,lter->ltdr", state.mvars["drs"], B)
+            lora[f"B_{slot}"] = jnp.where(on > 0, projB, B)
         updates["lora"] = lora
         return updates
+
+    def cov_features(self, state, x):
+        # LoRA SUBTRACTION (the method's namesake): the DRS input-matrix pass
+        # forwards with W0 - sum(prev deltas) on k/v — reference
+        # transformer.py:407-413 (compute_input_matrix uses
+        # k_weight - prev_k_weight). At before_task time the new task's B is
+        # zero, so the active merged delta IS the previous-task sum.
+        deltas = self.qkv_deltas(state.params["lora"], state.mvars["active"])
+        neg = {k: -v for k, v in deltas.items()}
+        return self.backbone.apply(
+            {"params": state.mvars["frozen"]}, x, train=False,
+            qkv_deltas=neg, capture=True,
+        )
 
     def before_task(self, state, task_idx, task_data):
         state = super().before_task(state, task_idx, task_data)
@@ -179,5 +203,19 @@ class LoRAsubDRS(LoRAViTMethod):
         return state.replace(mvars=mvars)
 
     def eval_logits(self, state, x, task_id):
-        logits = self.forward_logits(state.params, state, x, train=False)
-        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+        # reference inference is nearest-class-mean over NORMALIZED
+        # prototypes (lora_sub.py inference(): argmin ||f/|f| - p/|p|||^2);
+        # head logits are only the task-0 fallback before any prototypes
+        # exist (mid-task validation)
+        out = self.vit_features(state.params, state.mvars, x, train=False)
+        f = out["features"]
+        fn = f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-8)
+        pn = state.mvars["protos"] / (
+            jnp.linalg.norm(state.mvars["protos"], axis=1, keepdims=True) + 1e-8
+        )
+        d2 = jnp.sum((fn[:, None, :] - pn[None, :, :]) ** 2, axis=-1)
+        valid = state.mvars["proto_valid"] * state.seen_mask
+        ncm = jnp.where(valid[None, :] > 0, -d2, -1e30)
+        head = self._head.apply({"params": state.params["head"]}, f)
+        head = jnp.where(state.seen_mask[None, :] > 0, head, -1e30)
+        return jnp.where(jnp.sum(valid) > 0, ncm, head)

@@ -40,7 +40,10 @@ class SDLoRA(LoRAViTMethod):
         self._cur_rank = self.rank
 
     def extra_params(self, rng):
-        return {"mag": jnp.full((self.task_num,), self.init_mag, jnp.float32)}
+        # per-LAYER per-task magnitudes: each reference attention module owns
+        # its own mag_lora list (transformer.py:276-330)
+        return {"mag": jnp.full((self.depth, self.task_num), self.init_mag,
+                                jnp.float32)}
 
     def extra_mvars(self):
         return {
@@ -55,17 +58,22 @@ class SDLoRA(LoRAViTMethod):
     def _deltas(self, params, mvars) -> Dict[int, jax.Array]:
         d = self.embed_dim
         active = mvars["active"]
-        mag = params["mag"]
+        onehot = mvars["train_onehot"]
         deltas = {}
         for layer in range(self.depth):
             delta = jnp.zeros((d, 3 * d), jnp.float32)
+            mag = params["mag"][layer]  # (T,)
             for slot, off, assim_key in (("q", 0, "assim_q"), ("v", 2, "assim_v")):
                 A = params["lora"][f"A_{slot}"][layer]  # (T, r, d)
                 B = params["lora"][f"B_{slot}"][layer]  # (T, d, r)
                 # eps INSIDE the sqrt: at B=0 (fresh task) sqrt' would be inf
                 nA = jnp.sqrt(jnp.sum(A**2, axis=(1, 2)) + 1e-12)  # (T,)
                 nB = jnp.sqrt(jnp.sum(B**2, axis=(1, 2)) + 1e-12)
-                coeff = active * (mag + mvars[assim_key][layer]) / (nA * nB)
+                # reference transformer.py:317-330: the CURRENT task trains
+                # mag[-1] * B A with NO norm division; only PAST tasks become
+                # normalized directions scaled by (mag_i + assim_i)
+                past = (mag + mvars[assim_key][layer]) / (nA * nB)
+                coeff = active * jnp.where(onehot > 0, mag, past)
                 dw = jnp.einsum("t,tdr,tre->de", coeff, B, A)
                 delta = delta.at[:, off * d : (off + 1) * d].add(dw.T)
             deltas[layer] = delta
@@ -89,7 +97,8 @@ class SDLoRA(LoRAViTMethod):
                 self._cur_rank = int(rr[4])
         # fresh magnitudes each task (sd_lora.py:121-124) + init current A/B
         params = jax.tree_util.tree_map(lambda x: x, state.params)
-        params["mag"] = jnp.full((self.task_num,), self.init_mag, jnp.float32)
+        params["mag"] = jnp.full((self.depth, self.task_num), self.init_mag,
+                                 jnp.float32)
         lora = {k: np.array(v) for k, v in params["lora"].items()}
         rng = np.random.RandomState(task_idx)
         r = self._cur_rank

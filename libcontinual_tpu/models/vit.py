@@ -243,7 +243,7 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
-                 moe_rng=None, gate_index=0):
+                 moe_rng=None, gate_index=0, capture=False):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
         ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
@@ -271,6 +271,12 @@ class ViTBlock(nn.Module):
             )(ln2, gate_noise_rng=moe_rng, gate_vec=x[:, gate_index, :])
             y = y + moe_out
         out = x + y
+        if capture:
+            # the LoRA delta applies to the POST-ln_1 activations, so the
+            # input-covariance capture must see ln_1(x), not the raw block
+            # input (reference vit_inflora.py:294 passes norm1(x) into the
+            # attention that accumulates cur_matrix)
+            return out, ln1.astype(jnp.float32)
         if self.moe_experts > 0:
             return out, aux
         return out
@@ -377,11 +383,6 @@ class VisionTransformer(nn.Module):
                     n_prompt += self.vpt_len
                 else:
                     x = jnp.concatenate([toks, x[:, self.vpt_len :]], axis=1)
-            if capture:
-                # input-covariance capture point for the LoRA/projection
-                # family (reference vit_inflora.py:222-228 accumulates the
-                # attention input at each block)
-                attn_inputs.append(x.astype(jnp.float32))
             if self.moe_experts > 0:
                 moe_rng = (
                     self.make_rng("moe") if train and self.has_rng("moe") else None
@@ -397,7 +398,17 @@ class VisionTransformer(nn.Module):
                     # weights), with its own runtime-computed qkv delta
                     delta2 = dual_delta_fn(i, x)
                     x2 = block(x2, prefix_kv=pkv, qkv_delta=delta2)
-                x = block(x, prefix_kv=pkv, qkv_delta=delta)
+                if capture:
+                    # input-covariance capture for the LoRA/projection family:
+                    # the block returns its post-ln_1 activations — the tensor
+                    # the qkv delta actually multiplies (reference
+                    # vit_inflora.py:294, 222-228)
+                    x, ln1 = block(
+                        x, prefix_kv=pkv, qkv_delta=delta, capture=True
+                    )
+                    attn_inputs.append(ln1)
+                else:
+                    x = block(x, prefix_kv=pkv, qkv_delta=delta)
 
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
         x = final_norm(x.astype(jnp.float32))
