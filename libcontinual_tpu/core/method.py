@@ -238,6 +238,12 @@ class Method:
         reference ranpac.py:176-180)."""
         return default
 
+    def build_train_data(self, task_data, buffer, task_idx):
+        """Method-specific stage-1 training data, or None for the trainer's
+        default (task data + optional buffer concat). BiC holds out a
+        classwise split here (reference bic.py spilt_and_update)."""
+        return None
+
     def override_schedule(self, task_idx: int, steps_per_epoch: int, epochs: int):
         """Return a ScheduleController to replace the config one, or None —
         the clean version of the trainer's per-method optimizer overrides

@@ -74,17 +74,16 @@ class Trainer:
         self.init_cls_num = int(config["init_cls_num"])
         self.inc_cls_num = int(config["inc_cls_num"])
         self.batch_size = int(config["batch_size"])
-        # even sharding over the data axis
         d = self.mesh.data_size
-        if self.batch_size % d:
-            self.batch_size = _ceil_div(self.batch_size, d) * d
-            self.log.info("batch_size rounded to %d for %d-way data sharding",
-                          self.batch_size, d)
         # per-mode batch-size overrides (reference dataloader.py:97-100),
         # both rounded for even data-axis sharding
         self.batch_size = _ceil_div(
             int(config.get("train_batch_size", self.batch_size)), d
         ) * d
+        if self.batch_size != int(config.get("train_batch_size",
+                                             config["batch_size"])):
+            self.log.info("batch_size rounded to %d for %d-way data sharding",
+                          self.batch_size, d)
         self.test_batch_size = _ceil_div(
             int(config.get("test_batch_size", self.batch_size)), d
         ) * d
@@ -208,7 +207,9 @@ class Trainer:
         steps = _ceil_div(n, self.batch_size)
         total = steps * self.batch_size
         pad = total - n
-        idx = np.concatenate([perm, perm[: pad]]) if pad else perm
+        # wrap as many times as needed: tasks smaller than batch_size/2
+        # (oneshot/fewshot imbalance profiles) need more than one repetition
+        idx = np.resize(perm, total) if pad else perm
         weights = np.ones(total, np.float32)
         if pad:
             weights[n:] = 0.0
@@ -366,7 +367,19 @@ class Trainer:
         for t in range(self._resume_from + 1):  # restored-task stats
             row = self.acc_table[t, : t + 1]
             task_last_acc_list[t] = float(np.mean(row))
-            batch_last_acc_list[t] = float(np.mean(row))
+            # sample-weighted average: weight each task row by its test-set
+            # size so resumed runs report the same batch stats as straight
+            # runs (per-task mean only matches when test sizes are equal)
+            sizes = np.asarray(
+                [len(self.test_stream.task(i)) for i in range(t + 1)],
+                np.float64,
+            )
+            batch_last_acc_list[t] = float(
+                np.sum(row * sizes) / max(np.sum(sizes), 1.0)
+            )
+            if t > 0:
+                frgt_list.append(compute_frgt(self.acc_table, row, t))
+                bwt_list.append(compute_bwt(self.acc_table, row, t))
 
         for task_idx in range(self.task_num):
             if task_idx <= self._resume_from:
@@ -381,7 +394,11 @@ class Trainer:
             # LinearBuffer-family replay: concatenate exemplars into the task
             # data (reference trainer.py:305-322)
             train_data = task_data
-            if (
+            custom = method.build_train_data(task_data, self.buffer, task_idx)
+            if custom is not None:
+                # method-specific stage-1 data (BiC's held-out split)
+                train_data = custom
+            elif (
                 method.concat_buffer
                 and self.buffer.buffer_size > 0
                 and task_idx > 0

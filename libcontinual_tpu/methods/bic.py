@@ -52,6 +52,51 @@ class BiC(Method):
         self.tx = optax.trace(decay=0.9)
         self.init_tx = None
 
+    def build_train_data(self, task_data, buffer, task_idx):
+        """Held-out stage-2 protocol (reference bic.py spilt_and_update):
+        classwise 90/10 split of the task data; the buffer likewise splits
+        into train/val exemplar parts. Stage 1 trains on 90% task + buffer
+        train part; stage 2's bias training sees ONLY the held-out 10% +
+        buffer val part — data stage 1 never fit."""
+        from libcontinual_tpu.data.continual import TaskData
+
+        rng = np.random.RandomState(
+            int(self.config.get("seed", 0)) * 1000 + task_idx
+        )
+        imgs, labels = task_data.images, task_data.labels
+        tr_idx, va_idx = [], []
+        for c in np.unique(labels):
+            idx = np.nonzero(labels == c)[0]
+            rng.shuffle(idx)
+            n_val = max(1, int(len(idx) * self.split_ratio)) if len(idx) > 1 else 0
+            va_idx.append(idx[:n_val])
+            tr_idx.append(idx[n_val:])
+        tr_idx = np.concatenate(tr_idx)
+        va_idx = np.concatenate(va_idx) if va_idx else np.zeros((0,), np.int64)
+
+        def mk(i):
+            if len(i) == 0:
+                return None
+            return TaskData(
+                images=imgs[i], labels=labels[i],
+                class_lo=task_data.class_lo, class_hi=task_data.class_hi,
+            )
+
+        train = mk(tr_idx)
+        val = mk(va_idx)
+        buf_split = getattr(buffer, "split", None)
+        if buf_split is not None and buffer.buffer_size > 0 and task_idx > 0 \
+                and len(buffer) > 0:
+            btr, bva = buffer.split(
+                seed=int(self.config.get("seed", 0)) + task_idx
+            )
+            if btr is not None:
+                train = train.concat(btr) if train is not None else btr
+            if bva is not None:
+                val = val.concat(bva) if val is not None else bva
+        self._stage2_data = val
+        return train
+
     def init_mvars(self, rng, params, model_state):
         return {
             "teacher": copy_tree(params),
@@ -76,9 +121,9 @@ class BiC(Method):
         )
 
     def _bias_forward(self, logits, alphas, betas):
-        a = alphas[self._task_of_class]
-        b = betas[self._task_of_class]
-        return logits * a + b
+        from libcontinual_tpu.models.heads import bias_correct
+
+        return bias_correct(logits, alphas, betas, self._task_of_class)
 
     def loss(self, params, state, batch, rng):
         logits, _, new_model_state = self.forward(
@@ -134,19 +179,16 @@ class BiC(Method):
         return optax.apply_updates(ab, updates), opt_state, loss
 
     def extra_phases(self, trainer, state, task_idx, task_data):
-        """Stage-2 bias training on the exemplar-buffer validation split
-        (reference trainer.py:421-455, bic.py:219-232)."""
-        if task_idx == 0 or trainer.buffer.labels is None:
+        """Stage-2 bias training on the HELD-OUT split stashed by
+        build_train_data — data stage 1 never trained on (reference
+        trainer.py:421-455, bic.py:219-232, spilt_and_update)."""
+        if task_idx == 0:
             return state
         rng = np.random.RandomState(int(self.config.get("seed", 0)) + task_idx)
-        images, labels = trainer.buffer.images, trainer.buffer.labels
-        val_idx = []
-        for c in np.unique(labels):
-            idx = np.nonzero(labels == c)[0]
-            rng.shuffle(idx)
-            val_idx.append(idx[: max(1, int(len(idx) * self.split_ratio))])
-        val_idx = np.concatenate(val_idx)
-        vi, vl = images[val_idx], labels[val_idx]
+        held = getattr(self, "_stage2_data", None)
+        if held is None or len(held) == 0:
+            return state
+        vi, vl = held.images, held.labels
 
         ab = jnp.asarray(
             [float(state.mvars["alphas"][task_idx]), float(state.mvars["betas"][task_idx])]

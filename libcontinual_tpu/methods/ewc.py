@@ -38,6 +38,12 @@ def ewc_penalty(fisher, params, ref_params):
 
 @METHODS.register("EWC")
 class EWC(Method):
+    # CE is current-task-only by design (reference ewc.py:92-99 trains
+    # logit[:, old:] on y - old); replayed old-class samples would hit the
+    # -inf mask and blow the loss up — the reference's shipped config has no
+    # buffer, and its label rebase would crash on replay anyway
+    concat_buffer = False
+
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.lamda = float(self.kwargs.get("lamda", 1000.0))
@@ -83,12 +89,21 @@ class EWC(Method):
             fisher = self._fisher_step(state, fisher, im, lb, w)
             count += int(jnp.sum(w))
         fisher = jax.tree_util.tree_map(lambda f: f / max(count, 1), fisher)
-        # growing-alpha merge (reference ewc.py:129-133)
-        alpha = 1.0 - self.inc_cls_num / self.num_class
-        merged = jax.tree_util.tree_map(
-            lambda old, new: alpha * old + (1 - alpha) * new,
-            state.mvars["fisher"], fisher,
-        )
+        # GROWING-alpha merge (reference ewc.py:129-133): out_features is the
+        # class count seen so far, so alpha = 0 after task 0 (new Fisher
+        # replaces the zero init entirely), 0.5 after task 1, ... — a
+        # constant alpha would underweight early-task Fisher 10x
+        seen_classes = self.init_cls_num + task_idx * self.inc_cls_num
+        alpha = 1.0 - self.inc_cls_num / seen_classes
+        if task_idx == 0:
+            # first Fisher: stored as-is (reference merge loop runs over an
+            # empty dict at task 0)
+            merged = fisher
+        else:
+            merged = jax.tree_util.tree_map(
+                lambda old, new: alpha * old + (1 - alpha) * new,
+                state.mvars["fisher"], fisher,
+            )
         mvars = dict(state.mvars)
         mvars["fisher"] = merged
         mvars["ref_params"] = copy_tree(state.params)

@@ -39,6 +39,7 @@ class ICarl(Method):
             "teacher_state": copy_tree(model_state),
             "class_means": jnp.zeros((self.num_class, self.feat_dim), jnp.float32),
             "nme_ready": jnp.zeros((), jnp.float32),
+            "mean_valid": jnp.zeros((self.num_class,), jnp.float32),
         }
 
     def loss(self, params, state, batch, rng):
@@ -89,12 +90,15 @@ class ICarl(Method):
         feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
         labels = np.concatenate(labels_all)
         means = np.zeros((self.num_class, self.feat_dim), np.float32)
+        valid = np.zeros((self.num_class,), np.float32)
         for c in np.unique(labels):
             m = feats[labels == c].mean(0)
             means[c] = m / (np.linalg.norm(m) + 1e-12)
+            valid[c] = 1.0
         mvars = dict(state.mvars)
         mvars["class_means"] = jnp.asarray(means)
         mvars["nme_ready"] = jnp.ones((), jnp.float32)
+        mvars["mean_valid"] = jnp.asarray(valid)
         return state.replace(mvars=mvars)
 
     def eval_logits(self, state, x, task_id):
@@ -109,4 +113,11 @@ class ICarl(Method):
             (feats[:, None, :] - state.mvars["class_means"][None, :, :]) ** 2, axis=-1
         )
         nme = jnp.where(state.seen_mask[None, :] > 0, -d, -1e30)
-        return jnp.where(state.mvars["nme_ready"] > 0, nme, logits)
+        # NME only once means cover EVERY seen class — mid-task validation of
+        # a new task would otherwise score its classes against zero vectors
+        # (reference icarl.py:100-117 falls back to logit inference)
+        covered = jnp.min(
+            jnp.where(state.seen_mask > 0, state.mvars["mean_valid"], 1.0)
+        )
+        use_nme = (state.mvars["nme_ready"] > 0) & (covered > 0)
+        return jnp.where(use_nme, nme, logits)

@@ -21,6 +21,11 @@ from libcontinual_tpu.registry import METHODS
 
 @METHODS.register("LWF")
 class LWF(Method):
+    # CE is current-task-only (distillation covers old classes); replayed
+    # old-class samples would hit the -inf mask — no replay, as in the
+    # reference's shipped config
+    concat_buffer = False
+
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.lamda = float(self.kwargs.get("lamda", 3.0))
