@@ -34,8 +34,6 @@ class TaskData:
         return len(self.labels)
 
     def concat(self, other: "TaskData") -> "TaskData":
-        from libcontinual_tpu.data import native
-
         return TaskData(
             images=native.concat_rows(self.images, other.images),
             labels=np.concatenate([self.labels, other.labels]),

@@ -178,8 +178,16 @@ def load_source(config: Dict, mode: str) -> Dict:
     name = config.get("dataset", "cifar100")
     data_root = os.path.expanduser(str(config.get("data_root", "")))
     config = dict(config, data_root=data_root)
-    if name == "synthetic" or not data_root or not os.path.exists(data_root):
+    if name == "synthetic":
         return DATASETS.get("synthetic")(config, mode)
+    if not data_root or not os.path.exists(data_root):
+        # a real dataset was requested but its root is absent: refuse rather
+        # than silently training on synthetic data that LOOKS like results
+        raise FileNotFoundError(
+            f"dataset '{name}' requested but data_root "
+            f"{data_root!r} does not exist; set dataset: synthetic for the "
+            "no-download smoke path"
+        )
     if name == "binary_cifar100":
         return DATASETS.get("binary_cifar100")(config, mode)
     return DATASETS.get("folder")(config, mode)

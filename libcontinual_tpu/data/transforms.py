@@ -362,7 +362,17 @@ def build_transform(
             ("Normalize", {"mean": mean, "std": std}),
         ]
     else:  # resnet-style CNNs
-        mean, std = NORM_PRESETS["cifar" if ds == "cifar" else "imagenet"]
+        # dataset-specific stats mirror reference core/data/data.py exactly:
+        # ImageNet/ImageNet-R use the CIFAR-10-like stats (reference
+        # ImageNetTransform/ImageNetRTransform quirk, data.py:70,122);
+        # tiny-imagenet uses the true ImageNet stats (data.py:193)
+        if ds == "cifar":
+            preset = "cifar"
+        elif ds == "tiny-imagenet":
+            preset = "imagenet_default"
+        else:
+            preset = "imagenet"
+        mean, std = NORM_PRESETS[preset]
         if ds == "cifar":
             if mode == "train":
                 rng_steps = [

@@ -50,16 +50,19 @@ class TextTransformer(nn.Module):
         )
         x = emb[tokens].astype(self.dtype) + pos[None, :s].astype(self.dtype)
         causal = jnp.triu(jnp.full((s, s), -1e30, jnp.float32), k=1)
+        # MoE routing vector = the EOT token (highest token id): under the
+        # causal mask token 0 only sees itself and is input-independent
+        eot_pos = jnp.argmax(tokens, axis=-1)
         moe_aux = 0.0
         for i in range(self.depth):
             block = ViTBlock(
                 self.width, self.num_heads,
                 adapter_dim=self.adapter_dim,
                 moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, act="quick_gelu", name=f"block_{i}",
             )
             if self.moe_experts > 0:
-                x, aux = block(x, attn_mask=causal)
+                x, aux = block(x, attn_mask=causal, gate_pos=eot_pos)
                 moe_aux = moe_aux + aux
             else:
                 x = block(x, attn_mask=causal)
@@ -107,6 +110,8 @@ class CLIP(nn.Module):
             moe_experts=self.moe_experts,
             moe_top_k=self.moe_top_k,
             dtype=self.dtype,
+            ln_pre=True,  # OpenAI visual stem LayerNorm
+            act="quick_gelu",
             name="visual",
         )
         self.text = TextTransformer(
@@ -206,6 +211,9 @@ def load_clip_torch_weights(params, source) -> dict:
         )
     if "visual.positional_embedding" in sd:
         p["visual"]["pos_embed"][...] = sd["visual.positional_embedding"][None]
+    if "visual.ln_pre.weight" in sd:
+        p["visual"]["ln_pre_n"]["scale"][...] = sd["visual.ln_pre.weight"]
+        p["visual"]["ln_pre_n"]["bias"][...] = sd["visual.ln_pre.bias"]
     if "visual.ln_post.weight" in sd:
         p["visual"]["norm"]["scale"][...] = sd["visual.ln_post.weight"]
         p["visual"]["norm"]["bias"][...] = sd["visual.ln_post.bias"]

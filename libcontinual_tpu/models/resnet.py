@@ -302,5 +302,19 @@ FEATURE_DIMS = {
     "ViT_CL_LoRA": 768,
     "SiNet_vit": 768,
     "vit_inflora": 768,
+    # registry aliases and remaining registered names, so feat_dim inference
+    # works for every spelling a config may use
+    "vit_base_patch16_224": 768,
+    "vit-b-16": 768,
+    "vit_pt_imnet_dap": 768,
+    "vit_ssf": 768,
+    "vit_vpt": 768,
+    "resnet18_aml": 160,
+    "AlexNet": 2048,
+    "AlexNet_API": 2048,
+    "alexnet_api": 2048,
     "clip": 512,
+    "Clip": 512,
+    "CLIP": 512,
+    "clip_tiny_test": 32,
 }

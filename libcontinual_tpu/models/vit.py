@@ -48,11 +48,17 @@ class MLP(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.bfloat16
+    act: str = "gelu_tanh"
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=True)  # tanh GELU: VPU-cheap, timm-compatible
+        if self.act == "quick_gelu":
+            # OpenAI CLIP's QuickGELU x*sigmoid(1.702x) (reference
+            # clip.py QuickGELU) — imported CLIP weights expect it
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=True)  # tanh GELU: VPU-cheap, timm-compatible
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -240,10 +246,11 @@ class ViTBlock(nn.Module):
     moe_top_k: int = 2
     ssf: bool = False
     dtype: Any = jnp.bfloat16
+    act: str = "gelu_tanh"
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
-                 moe_rng=None, gate_index=0, capture=False):
+                 moe_rng=None, gate_index=0, capture=False, gate_pos=None):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
         ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
@@ -255,7 +262,8 @@ class ViTBlock(nn.Module):
         ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
         if self.ssf:
             ln2 = SSF(self.dim, name="ssf_2")(ln2)
-        y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(ln2)
+        y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                act=self.act, name="mlp")(ln2)
         aux = 0.0
         if self.adapter_dim > 0:
             y = y + Adapter(
@@ -265,10 +273,18 @@ class ViTBlock(nn.Module):
         if self.moe_experts > 0:
             # routing input = post-attention residual CLS/EOT token
             # (reference transformer.py:1640-1644 gates on x[:, 0, :])
+            if gate_pos is not None:
+                # per-sample routing position (text tower: the EOT token —
+                # under the causal mask token 0 is input-independent)
+                gvec = jnp.take_along_axis(
+                    x, gate_pos[:, None, None], axis=1
+                )[:, 0, :]
+            else:
+                gvec = x[:, gate_index, :]
             moe_out, aux = MoEMLP(
                 self.dim, self.moe_experts, self.moe_top_k, dtype=self.dtype,
                 name="moe",
-            )(ln2, gate_noise_rng=moe_rng, gate_vec=x[:, gate_index, :])
+            )(ln2, gate_noise_rng=moe_rng, gate_vec=gvec)
             y = y + moe_out
         out = x + y
         if capture:
@@ -298,6 +314,8 @@ class VisionTransformer(nn.Module):
     ssf: bool = False
     vpt_len: int = 0  # deep visual-prompt-tuning tokens per layer
     dtype: Any = jnp.bfloat16
+    ln_pre: bool = False  # OpenAI-CLIP visual stem LayerNorm before blocks
+    act: str = "gelu_tanh"  # "quick_gelu" for CLIP towers
 
     @nn.compact
     def __call__(
@@ -342,6 +360,10 @@ class VisionTransformer(nn.Module):
         )
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(self.dtype), x], axis=1)
         x = x + pos.astype(self.dtype)
+        if self.ln_pre:
+            # OpenAI CLIP normalizes the embedded sequence before the blocks
+            # (reference clip.py VisualTransformer ln_pre)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre_n")(x)
 
         n_prompt = 0
         if prepend_tokens is not None:
@@ -372,6 +394,7 @@ class VisionTransformer(nn.Module):
                 self.moe_top_k,
                 self.ssf,
                 self.dtype,
+                act=self.act,
                 name=f"block_{i}",
             )
             if self.vpt_len > 0:
