@@ -33,6 +33,48 @@ from libcontinual_tpu.core.state import TrainState, make_masks
 from libcontinual_tpu.registry import METHODS
 
 
+def nsp_lambda(basis, counts, covs, depth, scale):
+    """Per-layer lambda from the top-10% mean cosine similarity between the
+    dominant activation direction and the stored orthonormal basis columns
+    (reference dmnsp.py:189-198) — bounded, so lam stays in
+    [scale/e, scale*e]."""
+    lam = np.ones((depth,), np.float32)
+    for j in range(depth):
+        u, _, _ = np.linalg.svd(covs[j])
+        top = u[:, 0]
+        n = int(counts[j])
+        if n == 0:
+            continue
+        sims = np.abs(basis[j][:, :n].T @ top)
+        k = max(1, int(n * 0.1))
+        lam[j] = np.exp(-float(np.mean(np.sort(sims)[::-1][:k]))) * scale
+    return lam
+
+
+def nsp_extend_basis(basis, counts, covs, depth):
+    """Extend the accumulated per-layer space with each covariance's
+    singular vectors minus the dominant one (reference dmnsp.py:218-226),
+    re-orthonormalized so P = B B^T keeps spectral norm 1."""
+    basis = np.array(basis)
+    counts = np.array(counts)
+    d = basis.shape[1]
+    P = np.zeros((depth, d, d), np.float32)
+    for i in range(depth):
+        u, _, _ = np.linalg.svd(covs[i])
+        V = u[:, 1:]
+        n = int(counts[i])
+        stacked = np.concatenate([basis[i][:, :n], V], axis=1)
+        q, r = np.linalg.qr(stacked)
+        keep = np.abs(np.diag(r)) > 1e-6
+        q = q[:, keep][:, :d]
+        m = q.shape[1]
+        basis[i] = 0.0
+        basis[i][:, :m] = q
+        counts[i] = m
+        P[i] = q @ q.T
+    return basis, counts, P
+
+
 def smoothed_ce(logits, labels, weight, class_mask, smoothing):
     n_valid = jnp.maximum(jnp.sum(class_mask), 1.0)
     logits = jnp.where(class_mask[None, :] > 0, logits, -1e30)
@@ -64,7 +106,9 @@ class DMNSP(Method):
         k1, k2, k3 = jax.random.split(rng, 3)
         dummy = self.model_input(sample_input_hw)
         vit_vars = self.backbone.init(k1, dummy, train=False)
-        vit_params = vit_vars["params"]
+        from libcontinual_tpu.models.vit import maybe_load_pretrained
+
+        vit_params = maybe_load_pretrained(vit_vars["params"], self.config)
         # split adapters (trainable) from the frozen trunk
         adapters = {}
         frozen = {}
@@ -85,6 +129,10 @@ class DMNSP(Method):
         mvars = {
             "model_state": {},
             "frozen": frozen,
+            # orthonormal accumulated basis columns (zero-padded) + count;
+            # P = basis @ basis.T is derived at task boundaries
+            "basis": jnp.zeros((self.depth, d, d), jnp.float32),
+            "basis_n": jnp.zeros((self.depth,), jnp.int32),
             "P": jnp.zeros((self.depth, d, d), jnp.float32),
             "lam": jnp.ones((self.depth,), jnp.float32),
             "proj_on": jnp.zeros((), jnp.float32),
@@ -111,10 +159,12 @@ class DMNSP(Method):
             full[blk] = sub
         return full
 
-    def _features(self, params, mvars, x, train, capture=False):
+    def _features(self, params, mvars, x, train, capture=False,
+                  capture_point="attn"):
+        kw = {"capture_point": capture_point} if capture else {}
         out = self.backbone.apply(
             {"params": self._full_vit_params(params, mvars)},
-            x, train=train, capture=capture,
+            x, train=train, capture=capture, **kw,
         )
         return out
 
@@ -149,26 +199,30 @@ class DMNSP(Method):
     # ----------------------------------------------------------------- hooks
 
     def _block_covs(self, state, task_data):
+        # one batch, like the reference's `break # first batch only`
+        # (dmnsp.py:200) — but a SEEDED RANDOM batch: the reference's loader
+        # is shuffled, while task_data is class-ordered, so the literal first
+        # rows would be one class's statistics
         bs = min(int(self.config["batch_size"]), len(task_data))
-        im = jnp.asarray(task_data.images[:bs])
+        rng = np.random.RandomState(int(self.config.get("seed", 0)))
+        idx = rng.permutation(len(task_data))[:bs]
+        im = jnp.asarray(task_data.images[idx])
         x = self.augment(None, im, train=False)
-        out = self._features(state.params, state.mvars, x, train=False, capture=True)
+        # adapters consume ln_2 (adaptmlp input) — protect THAT space
+        out = self._features(
+            state.params, state.mvars, x, train=False, capture=True,
+            capture_point="mlp",
+        )
         return [np.asarray(jnp.einsum("bsd,bse->de", a, a)) for a in out["attn_inputs"]]
 
     def before_task(self, state, task_idx, task_data):
         mvars = dict(state.mvars)
         if task_idx > 0:
             covs = self._block_covs(state, task_data)
-            lam = np.ones((self.depth,), np.float32)
-            P = np.array(state.mvars["P"])
-            for j in range(self.depth):
-                u, _, _ = np.linalg.svd(covs[j])
-                top = u[:, 0]
-                # cosine similarity of the dominant direction vs the stored
-                # basis expressed through P: sim spectrum via P @ top
-                proj = P[j] @ top
-                sim = float(np.linalg.norm(proj))  # in [0, ~1] for orthonormal V
-                lam[j] = np.exp(-sim) * self.lamda_scale
+            lam = nsp_lambda(
+                np.array(state.mvars["basis"]), np.array(state.mvars["basis_n"]),
+                covs, self.depth, self.lamda_scale,
+            )
             mvars["lam"] = jnp.asarray(lam)
             mvars["proj_on"] = jnp.ones((), jnp.float32)
         state = state.replace(mvars=mvars)
@@ -176,12 +230,12 @@ class DMNSP(Method):
 
     def after_task(self, state, task_idx, task_data):
         covs = self._block_covs(state, task_data)
-        P = np.array(state.mvars["P"])
-        for i in range(self.depth):
-            u, _, _ = np.linalg.svd(covs[i])
-            V = u[:, 1:]  # drop the dominant direction (dmnsp.py:218-226)
-            P[i] = np.clip(P[i] + V @ V.T, -10.0, 10.0)
+        basis, counts, P = nsp_extend_basis(
+            state.mvars["basis"], state.mvars["basis_n"], covs, self.depth
+        )
         mvars = dict(state.mvars)
+        mvars["basis"] = jnp.asarray(basis)
+        mvars["basis_n"] = jnp.asarray(counts)
         mvars["P"] = jnp.asarray(P)
         return state.replace(mvars=mvars)
 

@@ -62,6 +62,8 @@ class DMNSPCLIP(CLIPMethod):
                 "model_state": {},
                 "frozen": frozen,
                 "task_tokens": self.class_tokens(0, self.num_class),
+                "basis": jnp.zeros((self.depth, d, d), jnp.float32),
+                "basis_n": jnp.zeros((self.depth,), jnp.int32),
                 "P": jnp.zeros((self.depth, d, d), jnp.float32),
                 "lam": jnp.ones((self.depth,), jnp.float32),
                 "proj_on": jnp.zeros((), jnp.float32),
@@ -118,40 +120,48 @@ class DMNSPCLIP(CLIPMethod):
         return grads
 
     def _visual_covs(self, state, task_data):
+        # seeded random batch (reference uses the first batch of a SHUFFLED
+        # loader); adapters consume ln_2 — capture that space
         bs = min(int(self.config["batch_size"]), len(task_data))
-        im = jnp.asarray(task_data.images[:bs])
+        rng = np.random.RandomState(int(self.config.get("seed", 0)))
+        idx = rng.permutation(len(task_data))[:bs]
+        im = jnp.asarray(task_data.images[idx])
         x = self.augment(None, im, train=False)
         full = self._merge(state.params["clip"], state.mvars["frozen"])
         out = self.backbone.apply(
             {"params": full},
-            method=lambda m, xx: m.visual(xx, train=False, capture=True),
+            method=lambda m, xx: m.visual(
+                xx, train=False, capture=True, capture_point="mlp"
+            ),
             xx=x,
         )
         return [np.asarray(jnp.einsum("bsd,bse->de", a, a)) for a in out["attn_inputs"]]
 
     def before_task(self, state, task_idx, task_data):
+        from libcontinual_tpu.methods.dmnsp import nsp_lambda
+
         mvars = dict(state.mvars)
         mvars["task_tokens"] = self.class_tokens(0, self.num_class)
         if task_idx > 0:
             covs = self._visual_covs(state, task_data)
-            lam = np.ones((self.depth,), np.float32)
-            P = np.array(state.mvars["P"])
-            for j in range(self.depth):
-                u, _, _ = np.linalg.svd(covs[j])
-                sim = float(np.linalg.norm(P[j] @ u[:, 0]))
-                lam[j] = np.exp(-sim) * self.lamda_scale
+            lam = nsp_lambda(
+                np.array(state.mvars["basis"]), np.array(state.mvars["basis_n"]),
+                covs, self.depth, self.lamda_scale,
+            )
             mvars["lam"] = jnp.asarray(lam)
             mvars["proj_on"] = jnp.ones((), jnp.float32)
         return state.replace(mvars=mvars)
 
     def after_task(self, state, task_idx, task_data):
+        from libcontinual_tpu.methods.dmnsp import nsp_extend_basis
+
         covs = self._visual_covs(state, task_data)
-        P = np.array(state.mvars["P"])
-        for i in range(self.depth):
-            u, _, _ = np.linalg.svd(covs[i])
-            V = u[:, 1:]
-            P[i] = np.clip(P[i] + V @ V.T, -10.0, 10.0)
+        basis, counts, P = nsp_extend_basis(
+            state.mvars["basis"], state.mvars["basis_n"], covs, self.depth
+        )
         mvars = dict(state.mvars)
+        mvars["basis"] = jnp.asarray(basis)
+        mvars["basis_n"] = jnp.asarray(counts)
         mvars["P"] = jnp.asarray(P)
         return state.replace(mvars=mvars)
 

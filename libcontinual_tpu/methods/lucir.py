@@ -97,17 +97,25 @@ class LUCIR(Method):
         old_norm = jnp.mean(jnp.linalg.norm(k[:, :n_old], axis=0))
         new_k = np.array(k, np.float32)  # writable copy
         bs = int(self.config["batch_size"])
+        if not hasattr(self, "_imprint_feat_jit"):
+            # jit the feature pass: ~tens of eager backbone dispatches per
+            # task boundary otherwise
+            @jax.jit
+            def _feat(state, images):
+                x = self.augment(None, images, train=False)
+                out, _ = self.apply_backbone(
+                    state.params, state.mvars["model_state"], x, train=False
+                )
+                return out["features"]
+
+            self._imprint_feat_jit = _feat
         for c in range(task_data.class_lo, task_data.class_hi):
             sel = np.nonzero(task_data.labels == c)[0]
             if not len(sel):
                 continue
             feats = []
             for im, lb, w in batch_iter(task_data.images[sel], task_data.labels[sel], bs):
-                x = self.augment(None, im, train=False)
-                out, _ = self.apply_backbone(
-                    state.params, state.mvars["model_state"], x, train=False
-                )
-                f = np.asarray(out["features"], np.float32)
+                f = np.asarray(self._imprint_feat_jit(state, im), np.float32)
                 feats.append(f[np.asarray(w) > 0])
             f = np.concatenate(feats)
             f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)

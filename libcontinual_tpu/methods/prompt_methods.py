@@ -102,7 +102,10 @@ class PromptViTMethod(Method):
         return state.seen_mask - state.prev_mask
 
     def eval_logits(self, state, x, task_id):
-        logits = self.forward_logits(state.params, state, x, train=False)[0]
+        out = self.forward_logits(state.params, state, x, train=False)
+        # subclasses return either bare logits (DAP) or (logits, aux);
+        # indexing a bare array with [0] would silently take batch row 0
+        logits = out[0] if isinstance(out, tuple) else out
         return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
 
     def forward_logits(self, params, state, x, train):

@@ -56,7 +56,10 @@ class WA(Method):
         total = jnp.maximum(jnp.sum(state.seen_mask), 1.0)
         lam = jnp.where(state.task > 0, known / total, 0.0)
         loss = (1.0 - lam) * ce + lam * kd
-        return loss, {"logits": logits, "model_state": new_model_state}
+        # metric logits masked to seen classes: never-trained future columns
+        # would otherwise corrupt the train-accuracy argmax
+        masked = jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
+        return loss, {"logits": masked, "model_state": new_model_state}
 
     def after_task(self, state, task_idx, task_data):
         lo, hi = self._class_range(task_idx)

@@ -64,7 +64,6 @@ class AlexNetTRGP(nn.Module):
         train: bool = True,
         capture: bool = False,
         weight_override: Optional[List[jax.Array]] = None,
-        rngs_key: Optional[jax.Array] = None,
     ):
         captured = []
         wo = weight_override

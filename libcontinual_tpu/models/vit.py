@@ -288,11 +288,11 @@ class ViTBlock(nn.Module):
             y = y + moe_out
         out = x + y
         if capture:
-            # the LoRA delta applies to the POST-ln_1 activations, so the
-            # input-covariance capture must see ln_1(x), not the raw block
-            # input (reference vit_inflora.py:294 passes norm1(x) into the
-            # attention that accumulates cur_matrix)
-            return out, ln1.astype(jnp.float32)
+            # capture BOTH normalized streams: the LoRA delta applies to the
+            # post-ln_1 activations (reference vit_inflora.py:294), while the
+            # adaptmlp adapters consume ln_2 (DMNSP protects adapter-input
+            # space); the caller picks the point it needs
+            return out, (ln1.astype(jnp.float32), ln2.astype(jnp.float32))
         if self.moe_experts > 0:
             return out, aux
         return out
@@ -327,6 +327,7 @@ class VisionTransformer(nn.Module):
         qkv_deltas: Optional[Dict[int, jax.Array]] = None,
         feature_mode: str = "cls",
         capture: bool = False,
+        capture_point: str = "attn",  # "attn" (ln_1) or "mlp" (ln_2)
         dual_delta_fn: Optional[Any] = None,
     ):
         """``dual_delta_fn``: enables the dual-stream ("Bi") mode of the
@@ -422,14 +423,15 @@ class VisionTransformer(nn.Module):
                     delta2 = dual_delta_fn(i, x)
                     x2 = block(x2, prefix_kv=pkv, qkv_delta=delta2)
                 if capture:
-                    # input-covariance capture for the LoRA/projection family:
-                    # the block returns its post-ln_1 activations — the tensor
-                    # the qkv delta actually multiplies (reference
-                    # vit_inflora.py:294, 222-228)
-                    x, ln1 = block(
+                    # input-covariance capture: ln_1 (the tensor the qkv
+                    # delta multiplies — LoRA/GPM family) or ln_2 (the
+                    # adaptmlp input — DMNSP) per ``capture_point``
+                    x, (ln1, ln2) = block(
                         x, prefix_kv=pkv, qkv_delta=delta, capture=True
                     )
-                    attn_inputs.append(ln1)
+                    attn_inputs.append(
+                        ln2 if capture_point == "mlp" else ln1
+                    )
                 else:
                     x = block(x, prefix_kv=pkv, qkv_delta=delta)
 
