@@ -68,13 +68,20 @@ def restore(base: str, task_idx: int, state_template, buffer, method):
     return state, host["acc_table"]
 
 
+DEFAULT_HOST_ATTRS = (
+    "_feature_list", "_project_type", "_task_spaces", "_class_means",
+    "_class_chol", "_seen", "_task_counts", "_cur_rank", "per_layer_retain",
+)
+
+
 def method_host_state(method) -> Dict[str, Any]:
     """Host-side method attributes that live outside the TrainState pytree
-    (variable-rank subspace lists etc.)."""
+    (variable-rank subspace lists etc.). Methods extend the default list by
+    declaring ``host_state_attrs`` — new host state must be registered there
+    or it silently resets to __init__ values on resume."""
     out = {}
-    for attr in ("_feature_list", "_project_type", "_task_spaces",
-                 "_class_means", "_class_covs", "_seen", "_task_counts",
-                 "_cur_rank", "per_layer_retain"):
+    attrs = DEFAULT_HOST_ATTRS + tuple(getattr(method, "host_state_attrs", ()))
+    for attr in attrs:
         if hasattr(method, attr):
             out[attr] = getattr(method, attr)
     return out

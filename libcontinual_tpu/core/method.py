@@ -68,6 +68,10 @@ class Method:
     # --- capability flags consulted by the trainer ---
     scan_safe: bool = True  # epoch can run as one lax.scan
     concat_buffer: bool = True  # LinearBuffer concat-into-task-data semantics
+    #: extra host-side attribute names persisted by checkpoint/resume
+    #: (core/ckpt.py adds these to its default list) — any host state a
+    #: method keeps outside the TrainState pytree must be declared here
+    host_state_attrs: tuple = ()
     validate_enabled: bool = True  # reference disables val for some methods
     supports_task_aware: bool = True
     per_iter_scheduler: bool = False

@@ -148,8 +148,17 @@ class Trainer:
 
             last = ckpt.latest_task(self.ckpt_dir)
             if last is not None:
+                # the checkpoint after task `last` holds the optimizer state
+                # of the tx that trained that task — rebuild the restore
+                # template with the matching chain (init_state used task 0's,
+                # which may differ structurally under init_optimizer)
+                tmpl = self.state.replace(
+                    opt_state=self.method._tx_for_task(last).init(
+                        self.state.params
+                    )
+                )
                 self.state, self.acc_table = ckpt.restore(
-                    self.ckpt_dir, last, self.state, self.buffer, self.method
+                    self.ckpt_dir, last, tmpl, self.buffer, self.method
                 )
                 self._resume_from = last
                 self.log.info("resumed from checkpoint after task %d", last)

@@ -92,5 +92,7 @@ def shuffled_indices(n: int, seed: int) -> np.ndarray:
     if lib is None:
         return np.random.RandomState(seed).permutation(n)
     out = np.empty((n,), np.int64)
-    lib.lct_shuffled_indices(out.ctypes.data, n, np.uint64(max(seed, 1)))
+    # the C++ side remaps a 0 state internally (host_data.cpp); clamping
+    # here would collapse seeds 0 and 1 onto the same stream
+    lib.lct_shuffled_indices(out.ctypes.data, n, np.uint64(seed))
     return out

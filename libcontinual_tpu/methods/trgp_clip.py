@@ -134,8 +134,12 @@ class TRGPCLIP(CLIPMethod):
     # ----------------------------------------------------------------- hooks
 
     def _covs(self, state, task_data):
+        # seeded RANDOM sample, like trgp.py's permutation[:125] probe —
+        # the first rows of class-ordered task data would be one class
         bs = min(int(self.config["batch_size"]), len(task_data))
-        im = jnp.asarray(task_data.images[:bs])
+        rng = np.random.RandomState(int(self.config.get("seed", 0)))
+        idx = rng.permutation(len(task_data))[:bs]
+        im = jnp.asarray(task_data.images[idx])
         x = self.augment(None, im, train=False)
         _, v_out = self._apply(
             state.params, state.mvars, x, state.mvars["task_tokens"], False,
@@ -153,8 +157,10 @@ class TRGPCLIP(CLIPMethod):
         # top-2 trust regions from one-batch qkv_delta gradient (trgp.py:296-318)
         task_arr = jnp.asarray(task_idx, jnp.int32)
         bs = min(int(self.config["batch_size"]), len(task_data))
-        im = jnp.asarray(task_data.images[:bs])
-        lb = jnp.asarray(task_data.labels[:bs].astype(np.int32))
+        prng = np.random.RandomState(task_idx)  # trgp.py:134-136 protocol
+        pidx = prng.permutation(len(task_data))[:bs]
+        im = jnp.asarray(task_data.images[pidx])
+        lb = jnp.asarray(task_data.labels[pidx].astype(np.int32))
 
         def lfn(p):
             x = self.augment(None, im, train=False)
@@ -201,13 +207,24 @@ class TRGPCLIP(CLIPMethod):
             if task_idx == 0:
                 self._feature_list.append(u[:, :r_own])
             else:
+                # GPM growth criterion with the already-captured energy
+                # offset (gpm.py:128-137, reference GPM update): without it
+                # every residual direction passes the threshold and the
+                # basis blows up to full rank, making proj ~ identity and
+                # zeroing all qkv_delta learning from task 2 on
                 F = self._feature_list[l]
+                _, s_all, _ = np.linalg.svd(act, full_matrices=False)
+                sval_total = max(float(np.sum(s_all**2)), 1e-12)
                 act_hat = act - F @ (F.T @ act)
-                u2, s2, _ = np.linalg.svd(act_hat)
-                ratio2 = np.cumsum(s2) / max(np.sum(s), 1e-12)
-                r = int(np.sum(ratio2 < threshold))
-                if r > 0:
-                    self._feature_list[l] = np.hstack([F, u2[:, :r]])[:, : self.width]
+                u2, s2, _ = np.linalg.svd(act_hat, full_matrices=False)
+                sval_hat = float(np.sum(s2**2))
+                accumulated = (sval_total - sval_hat) / sval_total
+                if accumulated < threshold:
+                    ratio2 = (s2**2) / sval_total
+                    r = int(np.sum(np.cumsum(ratio2) + accumulated < threshold)) + 1
+                    self._feature_list[l] = np.hstack(
+                        [F, u2[:, :r]]
+                    )[:, : self.width]
             U = self._feature_list[l]
             proj[l] = (U @ U.T).astype(np.float32)
         mvars = dict(state.mvars)

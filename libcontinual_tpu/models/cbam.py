@@ -25,12 +25,14 @@ class ChannelGate(nn.Module):
 
 class SpatialGate(nn.Module):
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         avg = jnp.mean(x, axis=-1, keepdims=True)
         mx = jnp.max(x, axis=-1, keepdims=True)
         s = jnp.concatenate([mx, avg], axis=-1)
         s = nn.Conv(1, (7, 7), use_bias=False)(s)
-        s = nn.BatchNorm(use_running_average=True)(s)
+        # batch stats in training, running stats at eval — same as every
+        # other BN in this file (reference BasicConv's BatchNorm2d)
+        s = nn.BatchNorm(use_running_average=not train, momentum=0.9)(s)
         return x * nn.sigmoid(s)
 
 
@@ -49,7 +51,7 @@ class CBAMBasicBlock(nn.Module):
         y = conv(self.filters, (3, 3))(y)
         y = norm()(y)
         y = ChannelGate()(y)
-        y = SpatialGate()(y)
+        y = SpatialGate()(y, train=train)
         if residual.shape != y.shape:
             residual = conv(self.filters, (1, 1), (self.strides, self.strides))(x)
             residual = norm()(residual)

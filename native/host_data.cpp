@@ -29,15 +29,19 @@ void parallel_for(int64_t n, F fn) {
     for (int64_t i = 0; i < n; ++i) fn(i);
     return;
   }
+  // chunked dispatch: one atomic per CHUNK (not per row) — each row is a
+  // single memcpy, so per-row fetch_add contention would dominate
+  const int64_t chunk = std::max<int64_t>(1, n / (n_threads * 8));
   std::atomic<int64_t> next(0);
   std::vector<std::thread> pool;
   pool.reserve(n_threads);
   for (int64_t t = 0; t < n_threads; ++t) {
     pool.emplace_back([&]() {
       while (true) {
-        int64_t i = next.fetch_add(1);
-        if (i >= n) return;
-        fn(i);
+        int64_t start = next.fetch_add(chunk);
+        if (start >= n) return;
+        const int64_t end = std::min(n, start + chunk);
+        for (int64_t i = start; i < end; ++i) fn(i);
       }
     });
   }
@@ -70,7 +74,13 @@ void lct_concat_u8(const uint8_t* a, int64_t n_a, const uint8_t* b,
 // (deterministic given seed).
 void lct_shuffled_indices(int64_t* out, int64_t n, uint64_t seed) {
   for (int64_t i = 0; i < n; ++i) out[i] = i;
-  uint64_t s = seed ? seed : 0x9E3779B97F4A7C15ull;
+  // splitmix64 the seed first: raw xorshift states for adjacent seeds
+  // (epoch_seed = seed + epoch) produce correlated early outputs
+  uint64_t s = seed + 0x9E3779B97F4A7C15ull;
+  s = (s ^ (s >> 30)) * 0xBF58476D1CE4E5B9ull;
+  s = (s ^ (s >> 27)) * 0x94D049BB133111EBull;
+  s ^= s >> 31;
+  if (!s) s = 0x9E3779B97F4A7C15ull;
   for (int64_t i = n - 1; i > 0; --i) {
     s ^= s >> 12;
     s ^= s << 25;
