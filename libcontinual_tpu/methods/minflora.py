@@ -248,7 +248,12 @@ class _MaskedLoRABase(LoRAViTMethod):
     def task_grams(self, state, task_data) -> List[np.ndarray]:
         bs = int(self.config["batch_size"])
         covs = None
-        fn = jax.jit(lambda st, im, w: self._layer_grams(st, im, w))
+        fn = getattr(self, "_task_grams_jit", None)
+        if fn is None:
+            # jitted once per instance — a fresh jit(lambda) per call would
+            # recompile the full capture forward at every task boundary
+            fn = jax.jit(lambda st, im, w: self._layer_grams(st, im, w))
+            self._task_grams_jit = fn
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
             outs = fn(state, im, w)
             if covs is None:
@@ -284,6 +289,8 @@ class MInfLoRA(_MaskedLoRABase):
         bs = int(self.config["batch_size"])
         d = self.embed_dim
 
+        cached = getattr(self, "_norm_gram_jit", None)
+
         @jax.jit
         def norm_gram_sum(st, im):
             x = self.augment(None, im, train=False)
@@ -297,11 +304,15 @@ class MInfLoRA(_MaskedLoRABase):
                 acc = acc + g / (nrm + 1e-8)
             return acc
 
+        # one jit per instance, not per task boundary
+        if cached is not None:
+            norm_gram_sum = cached
+        else:
+            self._norm_gram_jit = norm_gram_sum
+
         c_global = np.zeros((d, d), np.float64)
-        per_batch = []
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
             acc = norm_gram_sum(state, im)
-            per_batch.append(acc)
             c_global += np.asarray(
                 jnp.sum(acc * np.asarray(w)[:, None, None], axis=0), np.float64
             )
@@ -309,9 +320,19 @@ class MInfLoRA(_MaskedLoRABase):
         top_r = min(self.probe_top_r, d)
         u = jnp.asarray(u[:, :top_r], jnp.float32)
 
-        proj = jax.jit(lambda acc: jnp.einsum("dr,bde,es->brs", u, acc, u))
-        feats = [np.asarray(proj(acc)).reshape(acc.shape[0], -1)
-                 for acc in per_batch]
+        # second streaming pass: recompute batch Grams and project
+        # immediately — retaining every per-sample (d, d) Gram for the whole
+        # task (~2.4 MB/sample at d=768) would OOM the device. PAD rows
+        # (weight 0, batch_iter repeats) are dropped so returned row indices
+        # align with task_data.
+        proj = jax.jit(
+            lambda acc, uu: jnp.einsum("dr,bde,es->brs", uu, acc, uu)
+        )
+        feats = []
+        for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
+            acc = norm_gram_sum(state, im)
+            f = np.asarray(proj(acc, u)).reshape(acc.shape[0], -1)
+            feats.append(f[np.asarray(w) > 0])
         return np.concatenate(feats, axis=0)
 
     def _probe_gram_sums(self, state, task_data, probe_idx) -> List[np.ndarray]:
@@ -574,12 +595,13 @@ class MInfLoRA2(_MaskedLoRABase):
                                  covs, threshold)
         self._feature_each_task.append(each)
 
-        # saved routing spaces at threshold lamb (MInfLoRA2.py:255-280)
-        covs2 = self.task_grams(state, task_data)
+        # saved routing spaces at threshold lamb (MInfLoRA2.py:255-280) —
+        # reuse covs: masked_gpm_update does not mutate the Gram list, so a
+        # second full-dataset pass would be bit-identical
         route = np.array(state.mvars["route_space"])
         rmask = np.array(state.mvars["route_mask"])
         for layer in range(self.depth):
-            u, s, _ = np.linalg.svd(covs2[layer], full_matrices=False)
+            u, s, _ = np.linalg.svd(covs[layer], full_matrices=False)
             ratio = np.cumsum(s ** 2) / np.sum(s ** 2)
             r = max(int(np.sum(ratio < self.lamb)), 1)
             route[layer, task_idx] = _pad_cols(u[:, :r], self.route_rank_cap)
@@ -681,7 +703,10 @@ class MInfLoRA3(_MaskedLoRABase):
 
     def before_task(self, state, task_idx, task_data):
         state = super().before_task(state, task_idx, task_data)
-        covs = self.task_grams(state, task_data)
+        # (no covariance pass here: the space init below uses only the
+        # accumulated feature list + frozen weights — the reference's
+        # consumer of a before-task covariance is the dead SVD write
+        # documented in the module docstring)
         if task_idx > 0:
             # spaces from SVD(F F^T - W F F^T) per slot (MInfLoRA3.py
             # before_task; target_shape=768, /sqrt(3))

@@ -93,12 +93,22 @@ class SimpleTokenizer:
             }
         else:
             self.encoder = {"<|startoftext|>": VOCAB_SIZE - 2, "<|endoftext|>": VOCAB_SIZE - 1}
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
-        )
+        # the reference CLIP tokenizer's pattern uses \p{L}/\p{N} unicode
+        # classes (the third-party `regex` module); fall back to the ASCII
+        # classes only if `regex` is absent — accented class names would then
+        # tokenize differently from the reference
+        try:
+            import regex as _rx
+
+            self.pat = _rx.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                _rx.IGNORECASE,
+            )
+        except ImportError:  # pragma: no cover
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+                re.IGNORECASE,
+            )
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -144,7 +154,7 @@ class SimpleTokenizer:
         import re
 
         bpe_tokens: List[int] = []
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ")

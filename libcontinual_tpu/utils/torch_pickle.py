@@ -57,12 +57,35 @@ class _StorageToken(str):
 
 def _rebuild_tensor_v2(storage, offset, size, stride, *_args):
     arr = storage  # 1-D numpy array for the whole storage
+    offset = int(offset)
+    if offset < 0 or offset > arr.size:
+        raise ValueError(f"tensor storage offset {offset} out of bounds")
     if not size:
+        if offset >= arr.size:
+            raise ValueError("scalar tensor offset past end of storage")
         return arr[offset : offset + 1].reshape(())
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    # bounds-check pickle-supplied geometry BEFORE as_strided: a corrupt
+    # checkpoint could otherwise declare a view past the buffer and leak
+    # process memory (the module's untrusted-input guarantee)
+    if any(s < 0 for s in size) or any(st < 0 for st in stride):
+        raise ValueError("negative tensor size/stride in checkpoint")
+    max_index = offset + sum(
+        (s - 1) * st for s, st in zip(size, stride) if s > 0
+    )
+    numel = 1
+    for s in size:
+        numel *= s
+    if numel > 0 and max_index >= arr.size:
+        raise ValueError(
+            f"tensor geometry (offset {offset}, size {size}, stride {stride}) "
+            f"exceeds storage of {arr.size} elements"
+        )
     itemsize = arr.dtype.itemsize
-    strides = tuple(int(s) * itemsize for s in stride)
+    strides = tuple(st * itemsize for st in stride)
     view = np.lib.stride_tricks.as_strided(
-        arr[offset:], shape=tuple(int(s) for s in size), strides=strides
+        arr[offset:], shape=size, strides=strides
     )
     return np.ascontiguousarray(view)
 
@@ -145,6 +168,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: checkpoint root is {type(obj)}, expected dict")
     out = {}
+    skipped_dicts = []
     for k, v in obj.items():
         if isinstance(v, np.ndarray):
             if _BFLOAT16 is not None and v.dtype == _BFLOAT16:
@@ -152,4 +176,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             elif v.dtype == np.float16:
                 v = v.astype(np.float32)
             out[str(k)] = v
+        elif isinstance(v, dict) and v:
+            skipped_dicts.append(str(k))
+    if skipped_dicts and not out:
+        raise ValueError(
+            f"{path}: checkpoint is nested (dict values under "
+            f"{skipped_dicts[:5]}) — flatten it or name the inner state "
+            "dict 'state_dict'/'model'"
+        )
     return out
