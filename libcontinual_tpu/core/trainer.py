@@ -386,7 +386,7 @@ class Trainer:
             batch_last_acc_list[t] = float(
                 np.sum(row * sizes) / max(np.sum(sizes), 1.0)
             )
-            if t > 0:
+            if t > 1:  # match the live loop's ``task_idx > 1`` condition
                 frgt_list.append(compute_frgt(self.acc_table, row, t))
                 bwt_list.append(compute_bwt(self.acc_table, row, t))
 

@@ -204,9 +204,12 @@ class InfLoRAOPT(InfLoRA):
         epochs = self.ca_epochs
         steps_per_epoch = len(seen)
         sched = optax.cosine_decay_schedule(0.01, epochs)
+        # optax.trace (not optax.sgd) so the update keeps the gradient's sign:
+        # sgd(1.0) would negate via scale_by_learning_rate and the external
+        # ``-lr`` below would flip it back into gradient ASCENT.
         tx = optax.chain(
             optax.add_decayed_weights(5e-4),
-            optax.sgd(1.0, momentum=0.9),
+            optax.trace(decay=0.9),
         )
         opt = tx.init(head)
 

@@ -405,6 +405,8 @@ class MInfLoRA2(_MaskedLoRABase):
 
     # reference trainer disables in-epoch val for v2/v3 (trainer.py:367-377)
     validate_enabled = False
+    # cross-task host state read back in before_task — must survive resume
+    host_state_attrs = ("_feature_each_task",)
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)

@@ -33,6 +33,23 @@ from libcontinual_tpu.registry import BACKBONES
 ModuleDef = Any
 
 
+def _torch_pad(kernel):
+    """Symmetric (k-1)//2 padding — torch's ``padding=k//2`` convention.
+    Flax's default ``SAME`` pads asymmetrically under stride 2 (0 before,
+    1 after), which diverges from the reference on every strided conv."""
+    return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
+
+
+def _conv_factory(dtype):
+    def conv(features, kernel, strides=(1, 1), **kw):
+        kw.setdefault("padding", _torch_pad(kernel))
+        return nn.Conv(
+            features, kernel, strides, use_bias=False, dtype=dtype,
+            kernel_init=nn.initializers.kaiming_normal(), **kw,
+        )
+    return conv
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -96,12 +113,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv = partial(
-            nn.Conv,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.kaiming_normal(),
-        )
+        conv = _conv_factory(self.dtype)
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
@@ -145,12 +157,7 @@ class CifarResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         n = (self.depth - 2) // 6
-        conv = partial(
-            nn.Conv,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.kaiming_normal(),
-        )
+        conv = _conv_factory(self.dtype)
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
@@ -228,11 +235,8 @@ def cifar_resnet20(**kwargs):
     return CifarResNet(depth=20, dtype=kwargs.get("dtype", jnp.bfloat16))
 
 
-@BACKBONES.register("cifar_resnet32", aliases=("cifar_resnet32_V2",))
+@BACKBONES.register("cifar_resnet32")
 def cifar_resnet32(**kwargs):
-    """cifar_resnet32_V2 is the reference's BIC factory (resnet.py:765-767);
-    the bias-correction layers live in our bic method, so the plain cifar
-    ResNet is its backbone equivalent."""
     return CifarResNet(depth=32, dtype=kwargs.get("dtype", jnp.bfloat16))
 
 
@@ -250,6 +254,76 @@ def resnet18_cbam(**kwargs):
     from libcontinual_tpu.models.cbam import CBAMResNet
 
     return CBAMResNet(stage_sizes=[2, 2, 2, 2], cifar_stem=_is_cifar(kwargs))
+
+
+class PreActBasicBlock(nn.Module):
+    """Pre-activation block (bn-relu-conv twice, conv-only shortcut from the
+    raw input) — reference BasicBlock2 (resnet.py:589-620)."""
+
+    filters: int
+    strides: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.norm()(x)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters, (1, 1), (self.strides, self.strides),
+                name="downsample",
+            )(x)
+        return y + residual
+
+
+class PreActCifarResNet(nn.Module):
+    """BIC's pre-activation CIFAR ResNet — reference ResNet_BIC
+    (resnet.py:622-688): bare conv stem, BasicBlock2 stages, one final
+    bn+relu before global average pooling. feat_dim 64."""
+
+    depth: int = 32
+    num_filters: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n = (self.depth - 2) // 6
+        conv = _conv_factory(self.dtype)
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        x = x.astype(self.dtype)
+        x = conv(self.num_filters, (3, 3), name="conv_stem")(x)
+        for i in range(3):
+            for j in range(n):
+                x = PreActBasicBlock(
+                    filters=self.num_filters * 2**i,
+                    strides=2 if i > 0 and j == 0 else 1,
+                    conv=conv,
+                    norm=norm,
+                )(x)
+        x = norm(name="bn_final")(x)
+        x = nn.relu(x)
+        feats = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return {"features": feats}
+
+
+@BACKBONES.register("cifar_resnet32_V2", aliases=("cifar_resnet32_bic",))
+def cifar_resnet32_bic(**kwargs):
+    """cifar_resnet32_V2 is the reference's BIC factory (resnet.py:765-767)
+    building the pre-activation ResNet_BIC; the bias-correction layers live
+    in our bic method."""
+    return PreActCifarResNet(depth=32, dtype=kwargs.get("dtype", jnp.bfloat16))
 
 
 class TinyCNN(nn.Module):

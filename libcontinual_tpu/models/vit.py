@@ -48,7 +48,7 @@ class MLP(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.bfloat16
-    act: str = "gelu_tanh"
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
@@ -57,8 +57,13 @@ class MLP(nn.Module):
             # OpenAI CLIP's QuickGELU x*sigmoid(1.702x) (reference
             # clip.py QuickGELU) — imported CLIP weights expect it
             x = x * jax.nn.sigmoid(1.702 * x)
+        elif self.act == "gelu_tanh":
+            x = nn.gelu(x, approximate=True)
         else:
-            x = nn.gelu(x, approximate=True)  # tanh GELU: VPU-cheap, timm-compatible
+            # exact erf GELU: what torch nn.GELU() (reference Mlp,
+            # transformer.py:1255-1273) and timm pretrained ViTs compute;
+            # XLA fuses erf into the matmul epilogue the same as tanh
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -246,7 +251,7 @@ class ViTBlock(nn.Module):
     moe_top_k: int = 2
     ssf: bool = False
     dtype: Any = jnp.bfloat16
-    act: str = "gelu_tanh"
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
@@ -315,7 +320,7 @@ class VisionTransformer(nn.Module):
     vpt_len: int = 0  # deep visual-prompt-tuning tokens per layer
     dtype: Any = jnp.bfloat16
     ln_pre: bool = False  # OpenAI-CLIP visual stem LayerNorm before blocks
-    act: str = "gelu_tanh"  # "quick_gelu" for CLIP towers
+    act: str = "gelu"  # "quick_gelu" for CLIP towers
 
     @nn.compact
     def __call__(

@@ -1,0 +1,170 @@
+"""torch->flax weight synchronization for differential parity tests.
+
+Copies a reference (PyTorch) model's parameters into the matching
+libcontinual_tpu Flax variable pytree so both sides compute from identical
+weights. Conv kernels transpose OIHW -> HWIO; BatchNorm maps
+weight/bias/running_mean/running_var -> scale/bias/mean/var.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def conv_k(t):  # OIHW -> HWIO
+    return np.transpose(t2n(t), (2, 3, 1, 0))
+
+
+def lin_k(t):  # torch Linear weight (out,in) -> flax kernel (in,out)
+    return t2n(t).T
+
+
+def bn_vars(bn):
+    params = {"scale": t2n(bn.weight), "bias": t2n(bn.bias)}
+    stats = {"mean": t2n(bn.running_mean), "var": t2n(bn.running_var)}
+    return params, stats
+
+
+def sync_resnet(torch_blocks, stem_conv, stem_bn):
+    """Build flax {params, batch_stats} for models.resnet.ResNet/CifarResNet.
+
+    torch_blocks: ordered list of dicts with keys conv0,bn0,conv1,bn1 and
+    optional down_conv,down_bn (torch modules).
+    """
+    params, stats = {}, {}
+    params["conv_stem"] = {"kernel": conv_k(stem_conv.weight)}
+    params["bn_stem"], stats["bn_stem"] = bn_vars(stem_bn)
+    for i, b in enumerate(torch_blocks):
+        name = f"BasicBlock_{i}"
+        p = {
+            "Conv_0": {"kernel": conv_k(b["conv0"].weight)},
+            "Conv_1": {"kernel": conv_k(b["conv1"].weight)},
+        }
+        s = {}
+        p["BatchNorm_0"], s["BatchNorm_0"] = bn_vars(b["bn0"])
+        p["BatchNorm_1"], s["BatchNorm_1"] = bn_vars(b["bn1"])
+        if "down_conv" in b:
+            p["downsample"] = {"kernel": conv_k(b["down_conv"].weight)}
+            if "down_bn" in b and b["down_bn"] is not None:
+                p["downsample_bn"], s["downsample_bn"] = bn_vars(b["down_bn"])
+        params[name] = p
+        stats[name] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def ln_vars(ln):
+    return {"scale": t2n(ln.weight), "bias": t2n(ln.bias)}
+
+
+def sync_vit_block(tb):
+    """Flax params for models.vit.ViTBlock from reference
+    ResidualAttentionBlock (transformer.py:1276-1336)."""
+    return {
+        "ln_1": ln_vars(tb.ln_1),
+        "ln_2": ln_vars(tb.ln_2),
+        "attn": {
+            "qkv": {"kernel": lin_k(tb.attn.qkv.weight),
+                    "bias": t2n(tb.attn.qkv.bias)},
+            "proj": {"kernel": lin_k(tb.attn.proj.weight),
+                     "bias": t2n(tb.attn.proj.bias)},
+        },
+        "mlp": {
+            "fc1": {"kernel": lin_k(tb.mlp.fc1.weight),
+                    "bias": t2n(tb.mlp.fc1.bias)},
+            "fc2": {"kernel": lin_k(tb.mlp.fc2.weight),
+                    "bias": t2n(tb.mlp.fc2.bias)},
+        },
+    }
+
+
+def sync_vit(tm, depth):
+    """Flax params for models.vit.VisionTransformer from reference
+    VisionTransformer (transformer.py:2141-2300)."""
+    params = {
+        "patch_embed": {"kernel": conv_k(tm.patch_embed.proj.weight),
+                        "bias": t2n(tm.patch_embed.proj.bias)},
+        "cls_token": t2n(tm.cls_token),
+        "pos_embed": t2n(tm.pos_embed),
+        "norm": ln_vars(tm.norm),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = sync_vit_block(tm.transformer.blocks[i])
+    return params
+
+
+def sync_preact_resnet(model):
+    """Flax vars for models.resnet.PreActCifarResNet from reference
+    ResNet_BIC (resnet.py:622-688)."""
+    params, stats = {}, {}
+    params["conv_stem"] = {"kernel": conv_k(model.conv1.weight)}
+    i = 0
+    for stage in (model.layer1, model.layer2, model.layer3):
+        for b in stage:
+            name = f"PreActBasicBlock_{i}"
+            p = {
+                "Conv_0": {"kernel": conv_k(b.conv1.weight)},
+                "Conv_1": {"kernel": conv_k(b.conv2.weight)},
+            }
+            s = {}
+            p["BatchNorm_0"], s["BatchNorm_0"] = bn_vars(b.bn1)
+            p["BatchNorm_1"], s["BatchNorm_1"] = bn_vars(b.bn2)
+            if b.downsample is not None:
+                p["downsample"] = {"kernel": conv_k(b.downsample[0].weight)}
+            params[name] = p
+            stats[name] = s
+            i += 1
+    params["bn_final"], stats["bn_final"] = bn_vars(model.bn)
+    return {"params": params, "batch_stats": stats}
+
+
+def blocks_torchvision(model):
+    """Reference ResNet (resnet.py:101-246): conv1 Sequential stem, layer1-4."""
+    out = []
+    for layer in (model.layer1, model.layer2, model.layer3, model.layer4):
+        for b in layer:
+            d = {"conv0": b.conv1, "bn0": b.bn1, "conv1": b.conv2, "bn1": b.bn2}
+            if b.downsample is not None:
+                d["down_conv"], d["down_bn"] = b.downsample[0], b.downsample[1]
+            out.append(d)
+    return out, model.conv1[0], model.conv1[1]
+
+
+def blocks_cifar(model):
+    """Reference CifarResNet (resnet.py:324-415): conv_1_3x3/bn_1, stage_1-3."""
+    out = []
+    for stage in (model.stage_1, model.stage_2, model.stage_3):
+        for b in stage:
+            d = {"conv0": b.conv_a, "bn0": b.bn_a, "conv1": b.conv_b, "bn1": b.bn_b}
+            if b.downsample is not None:
+                d["down_conv"], d["down_bn"] = b.downsample[0], b.downsample[1]
+            out.append(d)
+    return out, model.conv_1_3x3, model.bn_1
+
+
+def blocks_lucir(model):
+    """Reference modified_ResNet (resnet.py:506-577): conv1/bn1, layer1-3."""
+    out = []
+    for stage in (model.layer1, model.layer2, model.layer3):
+        for b in stage:
+            d = {"conv0": b.conv1, "bn0": b.bn1, "conv1": b.conv2, "bn1": b.bn2}
+            if b.downsample is not None:
+                d["down_conv"], d["down_bn"] = b.downsample[0], b.downsample[1]
+            out.append(d)
+    return out, model.conv1, model.bn1
+
+
+def blocks_aml(model):
+    """Reference ResNet_AML (resnet.py:717-753): conv1/bn1, layer1-4,
+    shortcut Sequential as downsample."""
+    out = []
+    for layer in (model.layer1, model.layer2, model.layer3, model.layer4):
+        for b in layer:
+            d = {"conv0": b.conv1, "bn0": b.bn1, "conv1": b.conv2, "bn1": b.bn2}
+            if len(b.shortcut) > 0:
+                d["down_conv"], d["down_bn"] = b.shortcut[0], b.shortcut[1]
+            out.append(d)
+    return out, model.conv1, model.bn1

@@ -1,0 +1,275 @@
+"""Differential parity tests against the EXECUTING PyTorch reference.
+
+Loads /root/reference modules on CPU (via tests/_refload stubs), randomizes
+the torch model, copies the exact weights into the matching Flax module
+(tests/_refsync), feeds both sides the same inputs, and asserts activation
+parity. This is execution-grade evidence — not code review.
+
+Reference targets: core/model/backbone/resnet.py (resnet18 :101-287,
+CifarResNet :324-415, modified_ResNet :506-577, ResNet_BIC :622-688,
+ResNet_AML :717-753).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import _refload
+import _refsync as S
+from libcontinual_tpu.models import resnet as frn
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+@pytest.fixture(scope="module")
+def ref_resnet():
+    return _refload.ref_module("core.model.backbone.resnet")
+
+
+def _randomize(model, seed=0):
+    """Non-trivial weights + running stats so parity is a strong check."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            # keep torch's own kaiming conv init (activations stay O(1),
+            # so float32 noise stays inside tolerance); randomize BN so
+            # scale/bias/running-stat wiring is actually exercised
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.normal_(1.0, 0.1, generator=g)
+                m.bias.normal_(0, 0.1, generator=g)
+                m.running_mean.normal_(0, 0.05, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _x(n=4, hw=32, seed=1):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 3, hw, hw).astype(np.float32)
+    return torch.from_numpy(x), jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+def _assert_close(t_out, j_out, label):
+    np.testing.assert_allclose(
+        t_out.detach().numpy(), np.asarray(j_out), rtol=RTOL, atol=ATOL,
+        err_msg=label,
+    )
+
+
+def test_resnet18_cifar_stem_eval(ref_resnet):
+    tm = ref_resnet.resnet18(
+        args={"dataset": "cifar100", "init_cls_num": 10, "inc_cls_num": 10})
+    _randomize(tm)
+    tm.eval()
+    blocks, sc, sb = S.blocks_torchvision(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.resnet18(args={"dataset": "cifar100"}, dtype=jnp.float32)
+    tx, jx = _x()
+    with torch.no_grad():
+        t_out = tm(tx)["features"]
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    _assert_close(t_out, j_out, "resnet18 eval features")
+
+
+def test_resnet18_imagenet_stem_eval(ref_resnet):
+    tm = ref_resnet.resnet18(
+        args={"dataset": "imagenet", "init_cls_num": 10, "inc_cls_num": 10})
+    _randomize(tm)
+    tm.eval()
+    blocks, sc, sb = S.blocks_torchvision(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.resnet18(args={"dataset": "imagenet"}, dtype=jnp.float32)
+    tx, jx = _x(n=2, hw=64)
+    with torch.no_grad():
+        t_out = tm(tx)["features"]
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    _assert_close(t_out, j_out, "resnet18 imagenet-stem eval features")
+
+
+def test_resnet18_train_mode_batchstats(ref_resnet):
+    """Train-mode forward uses batch statistics — checks BN normalization
+    semantics, not just running-average replay."""
+    tm = ref_resnet.resnet18(
+        args={"dataset": "cifar100", "init_cls_num": 10, "inc_cls_num": 10})
+    _randomize(tm)
+    tm.train()
+    blocks, sc, sb = S.blocks_torchvision(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.resnet18(args={"dataset": "cifar100"}, dtype=jnp.float32)
+    tx, jx = _x(n=8)
+    t_out = tm(tx)["features"]
+    j_out, _ = fm.apply(fvars, jx, train=True, mutable=["batch_stats"])
+    _assert_close(t_out, j_out["features"], "resnet18 train-mode features")
+
+
+def test_cifar_resnet32_eval(ref_resnet):
+    tm = ref_resnet.cifar_resnet32()
+    _randomize(tm, seed=2)
+    tm.eval()
+    blocks, sc, sb = S.blocks_cifar(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.cifar_resnet32(dtype=jnp.float32)
+    tx, jx = _x(seed=3)
+    with torch.no_grad():
+        t_out = tm(tx)["features"]
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    _assert_close(t_out, j_out, "cifar_resnet32 eval features")
+
+
+def test_lucir_resnet32_eval(ref_resnet):
+    """modified_ResNet: last block keeps sign info (no final ReLU)."""
+    tm = ref_resnet.resnet32_V2()
+    _randomize(tm, seed=4)
+    tm.eval()
+    blocks, sc, sb = S.blocks_lucir(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.cifar_resnet32_lucir(dtype=jnp.float32)
+    tx, jx = _x(seed=5)
+    with torch.no_grad():
+        t_out = tm(tx)["features"]
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    assert float(jnp.min(j_out)) < 0, "LUCIR features must keep sign"
+    _assert_close(t_out, j_out, "lucir resnet32 eval features")
+
+
+def test_resnet18_aml_eval(ref_resnet):
+    tm = ref_resnet.resnet18_AML(num_classes=10)
+    _randomize(tm, seed=6)
+    tm.eval()
+    blocks, sc, sb = S.blocks_aml(tm)
+    fvars = S.sync_resnet(blocks, sc, sb)
+    fm = frn.resnet18_aml(dtype=jnp.float32)
+    tx, jx = _x(seed=7)
+    with torch.no_grad():
+        t_out = tm(tx)  # AML net returns raw feature tensor
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    _assert_close(t_out, j_out, "resnet18_AML eval features")
+
+
+@pytest.fixture(scope="module")
+def ref_tf():
+    return _refload.ref_module("core.model.backbone.transformer")
+
+
+def _align_ln_eps(model, eps=1e-6):
+    """Reference blocks default to LayerNorm eps=1e-5
+    (transformer.py:1290 norm_layer_eps) while this framework keeps the
+    timm-canonical 1e-6 its pretrained ViT weights were trained with (a
+    documented deviation, PARITY.md); align for the structural check."""
+    for m in model.modules():
+        if isinstance(m, torch.nn.LayerNorm):
+            m.eps = eps
+
+
+def _mk_ref_block(ref_tf, dim=64, heads=4, **kw):
+    g = torch.Generator().manual_seed(11)
+    blk = ref_tf.ResidualAttentionBlock(d_model=dim, n_head=heads, **kw)
+    with torch.no_grad():
+        for p in blk.parameters():
+            p.uniform_(-0.08, 0.08, generator=g)
+    _align_ln_eps(blk)
+    blk.eval()
+    return blk
+
+
+def _seq(b=2, s=10, d=64, seed=21):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(b, s, d).astype(np.float32)
+    return torch.from_numpy(x), jnp.asarray(x)
+
+
+def _my_block(dim=64, heads=4):
+    from libcontinual_tpu.models.vit import ViTBlock
+    return ViTBlock(dim, heads, dtype=jnp.float32)
+
+
+def test_vit_block_plain(ref_tf):
+    blk = _mk_ref_block(ref_tf)
+    fp = {"params": S.sync_vit_block(blk)}
+    tx, jx = _seq()
+    with torch.no_grad():
+        t_out = blk(tx.permute(1, 0, 2)).permute(1, 0, 2)
+    j_out = _my_block().apply(fp, jx)
+    _assert_close(t_out, j_out, "ViT block plain")
+
+
+def test_vit_block_prefix_kv(ref_tf):
+    """DualPrompt/CODA prefix prompts concatenated onto K/V
+    (reference transformer.py:175-180)."""
+    blk = _mk_ref_block(ref_tf)
+    fp = {"params": S.sync_vit_block(blk)}
+    tx, jx = _seq()
+    rng = np.random.RandomState(31)
+    pk = rng.randn(2, 6, 64).astype(np.float32)
+    pv = rng.randn(2, 6, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = blk(tx.permute(1, 0, 2),
+                    prompt=(torch.from_numpy(pk), torch.from_numpy(pv))
+                    ).permute(1, 0, 2)
+    j_out = _my_block().apply(
+        fp, jx, prefix_kv=(jnp.asarray(pk), jnp.asarray(pv)))
+    _assert_close(t_out, j_out, "ViT block prefix-KV")
+
+
+def test_vit_block_merged_lora(ref_tf):
+    """MultiHeadAttention_LoRA with apply_lora: k/v weight deltas
+    (reference transformer.py:199-275) == our qkv_delta injection."""
+    blk = _mk_ref_block(ref_tf, attn_layer=ref_tf.MultiHeadAttention_LoRA,
+                        lora_rank=4)
+    g = torch.Generator().manual_seed(41)
+    with torch.no_grad():
+        for lin in (blk.attn.lora_A_k, blk.attn.lora_B_k,
+                    blk.attn.lora_A_v, blk.attn.lora_B_v):
+            lin.weight.uniform_(-0.2, 0.2, generator=g)
+    blk.attn.apply_lora = True
+    fp = {"params": S.sync_vit_block(blk)}
+    d = 64
+    dk = (S.t2n(blk.attn.lora_B_k.weight) @ S.t2n(blk.attn.lora_A_k.weight)).T
+    dv = (S.t2n(blk.attn.lora_B_v.weight) @ S.t2n(blk.attn.lora_A_v.weight)).T
+    delta = np.concatenate([np.zeros((d, d), np.float32), dk, dv], axis=1)
+    tx, jx = _seq()
+    with torch.no_grad():
+        t_out = blk(tx.permute(1, 0, 2)).permute(1, 0, 2)
+    j_out = _my_block().apply(fp, jx, qkv_delta=jnp.asarray(delta))
+    _assert_close(t_out, j_out, "ViT block merged-LoRA k/v delta")
+
+
+def test_vit_full_forward(ref_tf):
+    """Full ViT: patch embed + cls/pos + blocks + final norm, cls feature
+    (reference transformer.py:2141-2300)."""
+    from libcontinual_tpu.models.vit import VisionTransformer as FViT
+    depth = 2
+    tm = ref_tf.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=64, depth=depth, num_heads=4)
+    g = torch.Generator().manual_seed(51)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.uniform_(-0.08, 0.08, generator=g)
+    _align_ln_eps(tm)
+    tm.eval()
+    fvit = FViT(img_size=32, patch_size=16, embed_dim=64, depth=depth,
+                num_heads=4, dtype=jnp.float32)
+    fp = {"params": S.sync_vit(tm, depth)}
+    tx, jx = _x(n=2, hw=32, seed=52)
+    with torch.no_grad():
+        t_tokens, _ = tm(tx)
+    j_out = fvit.apply(fp, jx, train=False)
+    _assert_close(t_tokens[:, 0], j_out["features"], "ViT cls feature")
+    _assert_close(t_tokens, j_out["tokens"], "ViT all tokens")
+
+
+def test_bic_resnet32_eval(ref_resnet):
+    tm = ref_resnet.cifar_resnet32_V2()
+    _randomize(tm, seed=8)
+    tm.eval()
+    fvars = S.sync_preact_resnet(tm)
+    fm = frn.cifar_resnet32_bic(dtype=jnp.float32)
+    tx, jx = _x(seed=9)
+    with torch.no_grad():
+        t_out = tm(tx)  # ResNet_BIC returns the raw feature tensor
+    j_out = fm.apply(fvars, jx, train=False)["features"]
+    _assert_close(t_out, j_out, "BIC preact resnet32 eval features")
