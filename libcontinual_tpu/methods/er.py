@@ -257,7 +257,13 @@ class ERAML(_ERBase):
 
     def _mine_minimal(self, images, labels, weight, rng):
         """Pos/neg from the incoming batch itself (reference
-        erbuffer.py:258-350's forward-pass-minimizing selection)."""
+        erbuffer.py:258-350's forward-pass-minimizing selection).
+
+        The reference restricts negatives to ``same_task`` candidates
+        (erbuffer.py:290-303). Here every in-batch candidate IS current-task
+        by construction — ER methods never concat replay into the incoming
+        batch (``concat_buffer = False``) — so the restriction is satisfied
+        without an explicit task mask."""
         b = labels.shape[0]
         k1, k2 = jax.random.split(rng)
         valid = weight > 0 if weight is not None else jnp.ones((b,), bool)
@@ -296,8 +302,15 @@ class ERAML(_ERBase):
             ok = jnp.maximum(ok, mok)
         px = self.augment(k2, pos_src, train=True)
         nx = self.augment(k3, neg_src, train=True)
-        _, pos_h, _ = self.forward(params, state.mvars["model_state"], px, train=True)
-        _, neg_h, _ = self.forward(params, state.mvars["model_state"], nx, train=True)
+        # ONE forward over [pos; neg] — the reference concatenates them into a
+        # single batch (eraml.py:131-133 ``all_xs = torch.cat((pos_x, neg_x))``)
+        # so BatchNorm statistics are shared across the pair sets
+        b = px.shape[0]
+        _, pn_h, _ = self.forward(
+            params, state.mvars["model_state"],
+            jnp.concatenate([px, nx], axis=0), train=True,
+        )
+        pos_h, neg_h = pn_h[:b], pn_h[b:]
 
         def norm(z):
             return z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-5)

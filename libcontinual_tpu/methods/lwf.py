@@ -50,7 +50,9 @@ class LWF(Method):
             params, state.mvars["model_state"], batch["x"], train=True
         )
         cur_mask = state.seen_mask - state.prev_mask
-        mask = jnp.where(state.task > 0, cur_mask, jnp.ones_like(cur_mask))
+        # task 0: the reference head is Linear(feat, init_cls_num) (lwf.py:14)
+        # — CE spans only the seen classes, not the full fixed-width head
+        mask = jnp.where(state.task > 0, cur_mask, state.seen_mask)
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), mask)
 
         t_logits, _, _ = self.forward(

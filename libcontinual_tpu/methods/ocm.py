@@ -117,12 +117,18 @@ def nt_xent_pre(sim_matrix, labels, temperature=0.07):
 @METHODS.register("OCM")
 class OCM(Method):
     concat_buffer = False
+    # _cur_task drives the traced loss branch — must survive resume
+    host_state_attrs = ("_cur_task",)
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         buf_kwargs = (config.get("buffer") or {}).get("kwargs") or {}
         self.capacity = int(buf_kwargs.get("buffer_size", 1000))
-        self.buffer_batch = int(self.kwargs.get("buffer_batch_size", 64))
+        self.buffer_batch_cap = int(self.kwargs.get("buffer_batch_size", 64))
+        # reference ocm.py:870 hardcodes 7 exemplars-per-class for the replay
+        # batch sizing rule (ocm.py:944)
+        self.buffer_per_class = int(self.kwargs.get("buffer_per_class", 7))
+        self._cur_task = 0
         self.proj_dim = min(128, int(self.kwargs.get("feat_dim", 512)) // 2 or 128)
         img = int(config.get("image_size", 32))
         self._simclr_aug = T.Pipeline([
@@ -172,6 +178,24 @@ class OCM(Method):
 
     # ----------------------------------------------------------------- hooks
 
+    def before_task(self, state, task_idx, task_data):
+        self._cur_task = int(task_idx)
+        return state
+
+    def jit_key(self):
+        # task-0 vs incremental traces a different loss graph (reference
+        # observe_first_task vs observe_incremental_tasks, ocm.py:900-903);
+        # the replay batch size is a static shape that grows with seen classes
+        return (self._cur_task > 0, self._buffer_batch())
+
+    def _buffer_batch(self) -> int:
+        """min(64, 7 * classes-seen) — reference ocm.py:944. The reference's
+        class_holder grows within the first batches of each task; here the
+        per-task value uses the full class count up front (a static shape —
+        the holder reaches it within the first few steps there)."""
+        seen = self.init_cls_num + self.inc_cls_num * self._cur_task
+        return max(1, min(self.buffer_batch_cap, self.buffer_per_class * seen))
+
     def after_task(self, state, task_idx, task_data):
         mvars = dict(state.mvars)
         mvars["teacher"] = copy_tree(state.params)
@@ -201,6 +225,11 @@ class OCM(Method):
     def _norm(self, z):
         return z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
 
+    def _slice_ids(self, k1, k2):
+        """Random feature-map slice offsets (ocm.py:945-948 randperm picks)."""
+        hi = max(self.feat_dim - self.proj_dim, 1)
+        return jax.random.randint(k1, (), 0, hi), jax.random.randint(k2, (), 0, hi)
+
     def _contrast_loss(self, params, state, x_u8, y, rng, teacher=None, mode="n"):
         """NT-Xent over [rotations; simclr(rotations)] (ocm.py:915-935);
         the replay path uses ``uni`` + the ``pre`` teacher term
@@ -212,7 +241,7 @@ class OCM(Method):
         f, proj, new_ms = self._embed(params, state.mvars["model_state"], pair)
         simclr = self._norm(proj)
         fmap = self._norm(f[: pair.shape[0]])
-        id1 = jax.random.randint(k2, (), 0, max(self.feat_dim - self.proj_dim, 1))
+        id1, _ = self._slice_ids(k2, k2)
         slice_f = jax.lax.dynamic_slice_in_dim(fmap, id1, self.proj_dim, axis=1)
         sim = simclr @ slice_f.T + simclr @ simclr.T
         loss = nt_xent(sim, yr, temperature=0.07, mode=mode)
@@ -227,27 +256,77 @@ class OCM(Method):
         return loss, extra, new_ms
 
     def loss(self, params, state, batch, rng):
-        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        if self._cur_task > 0:
+            return self._loss_incremental(params, state, batch, rng)
+        return self._loss_first(params, state, batch, rng)
+
+    def _loss_first(self, params, state, batch, rng):
+        """observe_first_task (ocm.py:912-936): CE on simclr-augmented inputs
+        + NT-Xent over the rotation pair."""
+        k1, k2 = jax.random.split(rng)
         x_u8, y, w = batch["image"], batch["label"], batch.get("weight")
-
-        # classifier CE on simclr-augmented inputs (ocm.py:931-933)
         x_aug = self._simclr_aug(k1, x_u8.astype(jnp.float32) / 255.0)
-        logits, _, new_ms = self.forward(params, state.mvars["model_state"], x_aug, train=True)
-        ce_inc = masked_cross_entropy(logits, y, w, state.seen_mask)
-
-        c_inc, _, _ = self._contrast_loss(params, state, x_u8, y, k2)
-
-        # replay path (ocm.py:939-986) — weighted off when buffer empty/task 0
-        buf = state.mvars["buffer"]
-        mx, my, mw = sample_random(buf, k3, self.buffer_batch)
-        c_rep, c_pre, _ = self._contrast_loss(
-            params, state, mx, my, k4, teacher=state.mvars["teacher"], mode="uni"
+        logits, _, new_ms = self.forward(
+            params, state.mvars["model_state"], x_aug, train=True
         )
-        mem_aug = self._simclr_aug(k5, mx.astype(jnp.float32) / 255.0)
-        m_logits, _, _ = self.forward(params, state.mvars["model_state"], mem_aug, train=True)
-        ce_mem = masked_cross_entropy(m_logits, my, mw, state.seen_mask)
+        # reference CE runs over the FULL fixed-width head — OCM_Model's
+        # classifier is Linear(feat, num_class) from the start and observe
+        # never column-masks it (ocm.py:827, 931-933)
+        ce = masked_cross_entropy(logits, y, w)
+        c_inc, _, _ = self._contrast_loss(params, state, x_u8, y, k2)
+        return ce + c_inc, {"logits": logits, "model_state": new_ms}
+
+    def _loss_incremental(self, params, state, batch, rng):
+        """observe_incremental_tasks (ocm.py:939-986). The incoming and
+        replay rotation pairs run through ONE forward over
+        ``[pair; pair_r]`` (reference ocm.py:953-955 ``t = cat(images_pair,
+        images_pair_r)``) so BatchNorm statistics are shared across the two
+        sets; the loss is replay CE + three NT-Xent terms + old-logit MSE."""
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
+        x_u8, y, w = batch["image"], batch["label"], batch.get("weight")
+        buf = state.mvars["buffer"]
+        mx, my, mw = sample_random(buf, k1, self._buffer_batch())
+
+        xr, yr = rotation_expand(x_u8.astype(jnp.float32) / 255.0, y)
+        xr_r, yr_r = rotation_expand(mx.astype(jnp.float32) / 255.0, my)
+        pair = jnp.concatenate([xr, self._simclr_aug(k2, xr)], axis=0)
+        pair_r = jnp.concatenate([xr_r, self._simclr_aug(k3, xr_r)], axis=0)
+        n_pair = pair.shape[0]
+        f, proj, new_ms = self._embed(
+            params, state.mvars["model_state"],
+            jnp.concatenate([pair, pair_r], axis=0),
+        )
+        simclr = self._norm(proj[:n_pair])
+        simclr_r = self._norm(proj[n_pair:])
+        fmap = self._norm(f[:n_pair])
+        fmap_r = self._norm(f[n_pair:])
+        id1, id2 = self._slice_ids(k4, k5)
+        s1 = jax.lax.dynamic_slice_in_dim(fmap, id1, self.proj_dim, axis=1)
+        s2 = jax.lax.dynamic_slice_in_dim(fmap_r, id2, self.proj_dim, axis=1)
+        sim = simclr @ s1.T + simclr @ simclr.T
+        sim_r = simclr_r @ s2.T + simclr_r @ simclr_r.T
+        c_inc = nt_xent(sim, yr, temperature=0.07, mode="n")
+        c_rep = nt_xent(sim_r, yr_r, temperature=0.07, mode="uni")
+
+        # distillation NT-Xent vs the previous model on the raw replay
+        # rotations (ocm.py:956, 971-973)
+        _, t_proj, _ = self._embed(
+            state.mvars["teacher"], state.mvars["teacher_state"], xr_r,
+            train=False,
+        )
+        pre = self._norm(jax.lax.stop_gradient(t_proj))
+        sim_pre = simclr_r[: xr_r.shape[0]] @ pre.T
+        c_pre = nt_xent_pre(sim_pre, yr_r, temperature=0.07)
+
+        # replay CE + old-class logit MSE vs teacher (ocm.py:977-980)
+        mem_aug = self._simclr_aug(k6, mx.astype(jnp.float32) / 255.0)
+        m_logits, _, _ = self.forward(
+            params, state.mvars["model_state"], mem_aug, train=True
+        )
+        ce_mem = masked_cross_entropy(m_logits, my, mw)  # full head (ocm.py:977)
         t_logits, _, _ = self.forward(
-            state.mvars["teacher"], state.mvars["teacher_state"], mem_aug, train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], mem_aug,
+            train=False,
         )
         # F.mse_loss over the prev_cls_num columns ONLY (ocm.py:978-980):
         # averaging over all num_class columns would shrink the distillation
@@ -259,13 +338,12 @@ class OCM(Method):
         n_prev = jnp.maximum(jnp.sum(state.prev_mask), 1.0)
         mse = jnp.sum(sq) / (m_logits.shape[0] * n_prev)
 
-        on_replay = jnp.where(
-            (state.task > 0) & (buf["n_seen"] > 0), 1.0, 0.0
+        # metric logits on the raw incoming batch (ocm.py:982-985)
+        logits, _, _ = self.forward(
+            params, state.mvars["model_state"],
+            x_u8.astype(jnp.float32) / 255.0, train=True,
         )
-        loss = (
-            (1 - on_replay) * (ce_inc + c_inc)
-            + on_replay * (ce_mem + c_inc + c_rep + c_pre + mse)
-        )
+        loss = ce_mem + c_inc + c_rep + c_pre + mse
         return loss, {"logits": logits, "model_state": new_ms}
 
     def eval_logits(self, state, x, task_id):

@@ -262,6 +262,46 @@ def test_vit_full_forward(ref_tf):
     _assert_close(t_tokens, j_out["tokens"], "ViT all tokens")
 
 
+def test_inflora_stacked_lora_attention():
+    """InfLoRA's per-task stacked k/v LoRA deltas (reference
+    vit_inflora.py:176-253: ``sum_t B_t A_t`` folded into k/v) == our single
+    merged qkv_delta injection."""
+    ref_vi = _refload.ref_module("core.model.backbone.vit_inflora")
+    from libcontinual_tpu.models.vit import ViTAttention
+
+    d, h, r, T = 64, 4, 4, 3
+    att = ref_vi.Attention_LoRA(d, num_heads=h, qkv_bias=True, r=r, n_tasks=T)
+    att.init_param()
+    g = torch.Generator().manual_seed(71)
+    with torch.no_grad():
+        att.qkv.weight.uniform_(-0.1, 0.1, generator=g)
+        att.qkv.bias.uniform_(-0.1, 0.1, generator=g)
+        att.proj.weight.uniform_(-0.1, 0.1, generator=g)
+        att.proj.bias.uniform_(-0.1, 0.1, generator=g)
+        for t in range(T):
+            for lin in (att.lora_A_k[t], att.lora_B_k[t],
+                        att.lora_A_v[t], att.lora_B_v[t]):
+                lin.weight.uniform_(-0.3, 0.3, generator=g)
+    att.eval()
+
+    wk = sum(S.t2n(att.lora_B_k[t].weight) @ S.t2n(att.lora_A_k[t].weight)
+             for t in range(T))
+    wv = sum(S.t2n(att.lora_B_v[t].weight) @ S.t2n(att.lora_A_v[t].weight)
+             for t in range(T))
+    delta = np.concatenate(
+        [np.zeros((d, d), np.float32), wk.T, wv.T], axis=1)
+    fp = {"params": {"qkv": {"kernel": S.lin_k(att.qkv.weight),
+                             "bias": S.t2n(att.qkv.bias)},
+                     "proj": {"kernel": S.lin_k(att.proj.weight),
+                              "bias": S.t2n(att.proj.bias)}}}
+    tx, jx = _seq(b=2, s=9, d=d, seed=72)
+    with torch.no_grad():
+        t_out = att(tx, task=T - 1)
+    j_out = ViTAttention(d, h, dtype=jnp.float32).apply(
+        fp, jx, qkv_delta=jnp.asarray(delta))
+    _assert_close(t_out, j_out, "InfLoRA stacked k/v LoRA attention")
+
+
 def test_bic_resnet32_eval(ref_resnet):
     tm = ref_resnet.cifar_resnet32_V2()
     _randomize(tm, seed=8)
