@@ -103,11 +103,22 @@ def main():
 
     ips = n_steps * bs / dt
     baseline = 186.0  # A100 fp32-peak bound on the reference (see docstring)
+    # ~13.4 TFLOP per 128-image L2P step (frozen-query fwd + prompted fwd +
+    # activation-grad bwd ~= 3 ViT-B fwd equivalents; BASELINE.md:92-102)
+    flop_per_image = 13.4e12 / 128
+    achieved = ips * flop_per_image
     print(json.dumps({
         "metric": "images/sec/chip (ViT-B/16 L2P train step, CIFAR-100 b10-inc10 geometry)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
+        # self-contained context: what the ratio divides by and how close the
+        # step runs to the chip
+        "baseline_basis": "186 img/s = A100 fp32-peak upper bound on the "
+                          "eager-fp32 reference L2P step (BASELINE.md:60-71)",
+        "achieved_tflops": round(achieved / 1e12, 1),
+        "mfu_vs_197tflops_peak": round(achieved / 197e12, 3),
+        "mfu_vs_128tflops_measured_ceiling": round(achieved / 128e12, 3),
     }))
 
 

@@ -65,11 +65,15 @@ class Trainer:
         self.mesh = make_mesh(
             int(mesh_cfg.get("data", -1)), int(mesh_cfg.get("model", 1))
         )
-        # record the mesh span so the fused Pallas attention kernels engage
-        # exactly when the computation is single-device (ops/attention.py)
-        from libcontinual_tpu.ops.attention import set_active_mesh_devices
+        # record the mesh so the fused Pallas attention kernels engage:
+        # directly on a single device, via shard_map over the 'data' axis on
+        # multi-device meshes (ops/attention.py)
+        from libcontinual_tpu.ops.attention import (
+            set_active_mesh, set_active_mesh_devices,
+        )
 
         set_active_mesh_devices(self.mesh.data_size * self.mesh.model_size)
+        set_active_mesh(self.mesh.mesh)
         self.task_num = int(config["task_num"])
         self.init_cls_num = int(config["init_cls_num"])
         self.inc_cls_num = int(config["inc_cls_num"])

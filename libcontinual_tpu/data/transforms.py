@@ -11,6 +11,22 @@ RandomResizedCrop with log-uniform aspect + uniform-area sampling, ColorJitter
 brightness/contrast/saturation factors), and the normalization constants come
 from the reference's preset tables (reference core/data/data.py:4-340).
 
+Documented distribution-level deviations from torchvision (round-3 audit;
+all are sampling-noise-scale, none change the transform family):
+  * RandomResizedCrop samples ONE box (clamped-fit fallback) where
+    torchvision rejection-samples up to 10 times then center-crops
+    (~2-3% of draws differ in box distribution at the shipped
+    scale/ratio), keeps continuous box sizes where torchvision rounds to
+    integer pixels, and resamples with exact 2-tap bilinear where PIL
+    antialiases when downscaling;
+  * ColorJitter applies brightness->contrast->saturation->hue in fixed
+    order with one final clamp, where torchvision permutes the op order
+    per call and clamps after each op — every shipped config uses a
+    single jitter component (PRAKA: brightness only), where order cannot
+    matter;
+  * hue shifts rotate in YIQ space rather than PIL's HSV round-trip (no
+    shipped config uses hue).
+
 A pipeline is compiled from a YAML list (the ``train_trfms:``/``test_trfms:``
 schema of reference core/data/dataloader.py:17-38) into a single
 ``fn(rng, uint8_images) -> float_images`` callable.

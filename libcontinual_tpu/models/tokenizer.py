@@ -2,10 +2,10 @@
 core/model/backbone/tokenizer/tokenizer.py:62-139).
 
 The merge table (``bpe_simple_vocab_16e6.txt.gz``) is a public OpenAI asset
-shipped as *data* by the reference; we load it at runtime from a configurable
-path (the reference checkout works) rather than vendoring it. Without a vocab
-file, a deterministic byte-level fallback tokenizer keeps the CLIP stack
-functional for tests and synthetic class names.
+(github.com/openai/CLIP) vendored in ``libcontinual_tpu/assets/`` — the
+framework is standalone; ``CLIP_BPE_VOCAB`` overrides the path. Without any
+vocab file, a deterministic byte-level fallback tokenizer keeps the CLIP
+stack functional for tests and synthetic class names.
 """
 
 from __future__ import annotations
@@ -20,7 +20,10 @@ import numpy as np
 
 DEFAULT_VOCAB_PATHS = [
     os.environ.get("CLIP_BPE_VOCAB", ""),
-    "/root/reference/core/model/backbone/tokenizer/bpe_simple_vocab_16e6.txt.gz",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "bpe_simple_vocab_16e6.txt.gz",
+    ),
 ]
 
 CONTEXT_LENGTH = 77

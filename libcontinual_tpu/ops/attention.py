@@ -51,12 +51,14 @@ def _xla_attention(q, k, v, scale):
 # ---------------------------------------------------------------- fused qkv
 
 
-# How many devices the active computation spans. The trainer records its
-# mesh size here so the fused-kernel gate reflects the mesh in use, not the
-# host's global device count (a single-device run on an 8-chip host should
-# still get the Pallas kernels). None = unknown -> fall back to
-# jax.device_count() as the conservative signal.
+# How many devices the active computation spans, and the Mesh itself. The
+# trainer records both so (a) a single-device run on an 8-chip host still
+# gets the Pallas kernels directly, and (b) multi-device meshes keep them
+# through shard_map: the batch grid is embarrassingly parallel over the
+# 'data' axis, so each device runs the kernel on its local batch shard
+# (pallas_call itself has no GSPMD partitioning rule).
 _ACTIVE_MESH_DEVICES = None
+_ACTIVE_MESH = None
 
 
 def set_active_mesh_devices(n) -> None:
@@ -64,11 +66,34 @@ def set_active_mesh_devices(n) -> None:
     _ACTIVE_MESH_DEVICES = None if n is None else int(n)
 
 
+def set_active_mesh(mesh) -> None:
+    """Register the active ``jax.sharding.Mesh`` so the fused attention ops
+    can shard_map themselves over its 'data' axis."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def _shard_mesh():
+    """Mesh to shard_map the fused kernels over, or None for direct call."""
+    import os
+
+    if os.environ.get("LIBCONTINUAL_ATTN_SHARDMAP") == "off":
+        return None
+    m = _ACTIVE_MESH
+    if m is None or m.size <= 1 or "data" not in m.axis_names:
+        return None
+    if "model" in m.axis_names and m.shape["model"] > 1:
+        # under tensor parallelism attention takes the GSPMD XLA path with
+        # head-sharding constraints (_tp_head_constraint) — per-rank FLOPs
+        # split beats the fused kernel running replicated over 'model'
+        return None
+    return m
+
+
 def fused_kernels_ok() -> bool:
     """True when the packed-qkv Pallas kernels may be used: the computation
-    spans one device (pallas_call has no SPMD partitioning rule), or the
-    user forces them with ``LIBCONTINUAL_ATTN=fused`` (e.g. under
-    shard_map)."""
+    spans one device, or an active mesh is registered (the ops shard_map
+    over its 'data' axis). ``LIBCONTINUAL_ATTN=fused/xla`` force/disable."""
     import os
 
     env = os.environ.get("LIBCONTINUAL_ATTN")
@@ -76,10 +101,28 @@ def fused_kernels_ok() -> bool:
         return True
     if env == "xla":
         return False
+    if _shard_mesh() is not None:
+        return True
     n = _ACTIVE_MESH_DEVICES
     if n is None:
         n = jax.device_count()
     return n == 1
+
+
+def _shard_batchwise(fn, n_batch_args, n_replicated_args=0):
+    """shard_map ``fn`` over the active mesh's 'data' axis: the first
+    ``n_batch_args`` arguments split on axis 0, the rest are replicated.
+    Mesh axes not named in the specs (e.g. 'model') replicate the compute —
+    attention activations are not tensor-parallel (parallel/tp.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _shard_mesh()
+    batch = P("data", *([None] * 2))
+    in_specs = tuple([batch] * n_batch_args + [P(None, None)] * n_replicated_args)
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=batch, check_rep=False
+    )
 
 
 def _batch_tile(b: int, per_image_bytes: int, budget: int = 8 * 2**20) -> int:
@@ -152,7 +195,7 @@ def _qkv_attention_xla(qkv, scale, heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def fused_qkv_attention(qkv, scale, heads):
+def _qkv_attention_core(qkv, scale, heads):
     """Self-attention straight off the packed qkv tensor:
     ``(B, S, 3*D) -> (B, S, D)`` with the head axis split in-kernel.
 
@@ -246,7 +289,7 @@ def _qkv_bwd_pallas(qkv, g, scale, heads):
 
 
 def _fused_qkv_fwd(qkv, scale, heads):
-    return fused_qkv_attention(qkv, scale, heads), qkv
+    return _qkv_attention_core(qkv, scale, heads), qkv
 
 
 def _fused_qkv_bwd(scale, heads, qkv, g):
@@ -275,7 +318,22 @@ def _fused_qkv_bwd(scale, heads, qkv, g):
     return (dqkv,)
 
 
-fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+_qkv_attention_core.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def fused_qkv_attention(qkv, scale, heads):
+    """Public entry: direct kernel on a single device; shard_map over the
+    active mesh's 'data' axis otherwise (batch is embarrassingly parallel).
+    Batches not divisible by the data axis take the GSPMD-partitionable XLA
+    path instead."""
+    mesh = _shard_mesh()
+    if mesh is None:
+        return _qkv_attention_core(qkv, scale, heads)
+    if qkv.shape[0] % mesh.shape["data"] != 0:
+        return _qkv_attention_xla(qkv, scale, heads)
+    return _shard_batchwise(
+        lambda x: _qkv_attention_core(x, scale, heads), 1
+    )(qkv)
 
 
 # ------------------------------------------------------- fused qkv + prefix
@@ -487,7 +545,7 @@ def _pqkv_xla(qkv, pk, pv, scale, heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_prefix_attention(qkv, pk, pv, scale, heads):
+def _prefix_attention_core(qkv, pk, pv, scale, heads):
     """Prefix-KV self-attention off the packed qkv tensor:
     ``(B,S,3D), (B,P,D), (B,P,D) -> (B,S,D)``.
 
@@ -502,7 +560,7 @@ def fused_prefix_attention(qkv, pk, pv, scale, heads):
 
 
 def _pqkv_fwd(qkv, pk, pv, scale, heads):
-    return fused_prefix_attention(qkv, pk, pv, scale, heads), (qkv, pk, pv)
+    return _prefix_attention_core(qkv, pk, pv, scale, heads), (qkv, pk, pv)
 
 
 def _pqkv_bwd(scale, heads, res, g):
@@ -540,7 +598,20 @@ def _pqkv_bwd(scale, heads, res, g):
     return (dqkv, dpk, dpv)
 
 
-fused_prefix_attention.defvjp(_pqkv_fwd, _pqkv_bwd)
+_prefix_attention_core.defvjp(_pqkv_fwd, _pqkv_bwd)
+
+
+def fused_prefix_attention(qkv, pk, pv, scale, heads):
+    """Public entry: see fused_qkv_attention; pk/pv are per-image prompts so
+    they shard along batch with the qkv tensor."""
+    mesh = _shard_mesh()
+    if mesh is None:
+        return _prefix_attention_core(qkv, pk, pv, scale, heads)
+    if qkv.shape[0] % mesh.shape["data"] != 0:
+        return _pqkv_xla(qkv, pk, pv, scale, heads)
+    return _shard_batchwise(
+        lambda x, a, b: _prefix_attention_core(x, a, b, scale, heads), 3
+    )(qkv, pk, pv)
 
 
 # ------------------------------------------------------- fused qkv + mask
@@ -690,7 +761,7 @@ def _mqkv_xla(qkv, mask, scale, heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_masked_qkv_attention(qkv, mask, scale, heads):
+def _masked_qkv_attention_core(qkv, mask, scale, heads):
     """Additive-mask self-attention off the packed qkv tensor:
     ``(B,S,3D), (S,S) -> (B,S,D)`` — the CLIP text tower's causal path
     (reference clip.py build_attention_mask). Pallas on TPU, XLA elsewhere;
@@ -701,7 +772,7 @@ def fused_masked_qkv_attention(qkv, mask, scale, heads):
 
 
 def _mqkv_fwd(qkv, mask, scale, heads):
-    return fused_masked_qkv_attention(qkv, mask, scale, heads), (qkv, mask)
+    return _masked_qkv_attention_core(qkv, mask, scale, heads), (qkv, mask)
 
 
 def _mqkv_bwd(scale, heads, res, g):
@@ -735,7 +806,21 @@ def _mqkv_bwd(scale, heads, res, g):
     return (dqkv, None)
 
 
-fused_masked_qkv_attention.defvjp(_mqkv_fwd, _mqkv_bwd)
+_masked_qkv_attention_core.defvjp(_mqkv_fwd, _mqkv_bwd)
+
+
+def fused_masked_qkv_attention(qkv, mask, scale, heads):
+    """Public entry: see fused_qkv_attention; the (S, S) additive mask is
+    replicated across the mesh."""
+    mesh = _shard_mesh()
+    if mesh is None:
+        return _masked_qkv_attention_core(qkv, mask, scale, heads)
+    if qkv.shape[0] % mesh.shape["data"] != 0:
+        return _mqkv_xla(qkv, mask, scale, heads)
+    return _shard_batchwise(
+        lambda x, mk: _masked_qkv_attention_core(x, mk, scale, heads),
+        1, n_replicated_args=1,
+    )(qkv, mask)
 
 
 def _pad_to(x, axis, mult):
@@ -870,6 +955,29 @@ def _xla_attention_bshd(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
 
+def tp_model_size() -> int:
+    """Size of the active mesh's 'model' axis (1 when no mesh/TP)."""
+    m = _ACTIVE_MESH
+    if m is None or "model" not in m.axis_names:
+        return 1
+    return int(m.shape["model"])
+
+
+def _tp_head_constraint(*tensors):
+    """Megatron-style attention TP: constrain (B, S, H, hd) tensors to shard
+    the HEAD axis over the mesh's 'model' axis so XLA partitions the score /
+    softmax / value einsums per head group (each rank computes its heads;
+    the only collective is the psum after the row-sharded out-projection,
+    parallel/tp.py). No-op when heads don't divide or TP is off."""
+    tp = tp_model_size()
+    if tp <= 1 or any(t.shape[2] % tp for t in tensors):
+        return tensors
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(_ACTIVE_MESH, P(None, None, "model", None))
+    return tuple(jax.lax.with_sharding_constraint(t, sh) for t in tensors)
+
+
 def attention_bshd(q, k, v, scale: Optional[float] = None):
     """softmax(q k^T * scale) v over (B, S, H, D) tensors (sequence-major
     layout — the framework's hot path; see ``_xla_attention_bshd``).
@@ -880,9 +988,13 @@ def attention_bshd(q, k, v, scale: Optional[float] = None):
     import os
 
     scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
+    q, k, v = _tp_head_constraint(q, k, v)
     if os.environ.get("LIBCONTINUAL_ATTN_VJP") == "remat":
-        return fused_attention_bshd(q, k, v, scale)
-    return _xla_attention_bshd(q, k, v, scale)
+        o = fused_attention_bshd(q, k, v, scale)
+    else:
+        o = _xla_attention_bshd(q, k, v, scale)
+    (o,) = _tp_head_constraint(o)
+    return o
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

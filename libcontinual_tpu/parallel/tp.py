@@ -4,10 +4,14 @@ The reference has no tensor parallelism at all (SURVEY §2.6: models are
 ≤ ViT-B, single GPU); here the ``model`` mesh axis is made real the TPU way:
 column-shard ``fc1`` and row-shard ``fc2`` of every transformer MLP via
 ``NamedSharding`` annotations and let XLA's SPMD partitioner insert the one
-``psum`` after ``fc2``. The MLP holds 2/3 of ViT FLOPs and parameters, so
-this is the standard first TP cut; attention stays replicated (head-aligned
-qkv sharding would need the packed-qkv layout split per shard — future work,
-documented in docs/performance.md).
+``psum`` after ``fc2``. Attention is tensor-parallel too: the head axis of
+the (B, S, H, hd) activations is constrained to the 'model' axis
+(ops/attention.py ``_tp_head_constraint``) and the out-projection kernel is
+row-sharded here, so each rank computes its own head group and the psum
+after ``attn/proj`` is the block's only collective. The packed qkv kernel
+itself stays replicated — its [q|k|v] column layout is not head-contiguous,
+so a column shard would mis-align with the head split (documented in
+docs/performance.md).
 
 Rules are applied by *path suffix + shape divisibility*, so they cover the
 plain ViT, the CLIP towers, and stacked/vmap'd parameter trees (leading axes
@@ -48,6 +52,11 @@ def tp_spec(path_str: str, shape, model: int) -> P:
     if path_str.endswith("fc1/bias") and shape[-1] % model == 0:
         return P(*([None] * (nd - 1)), "model")
     if path_str.endswith("fc2/kernel") and nd >= 2 and shape[-2] % model == 0:
+        return P(*([None] * (nd - 2)), "model", None)
+    # attention out-projection: row-shard to consume the head-sharded
+    # attention output (ops/attention.py _tp_head_constraint) — the psum
+    # XLA inserts after it is the attention block's only TP collective
+    if path_str.endswith("attn/proj/kernel") and nd >= 2 and shape[-2] % model == 0:
         return P(*([None] * (nd - 2)), "model", None)
     return P()
 

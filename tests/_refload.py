@@ -181,6 +181,16 @@ def _stub_torchvision(torch):
         sys.modules[name] = mod
 
 
+def _stub_ftfy():
+    if "ftfy" in sys.modules:
+        return
+    ftfy = types.ModuleType("ftfy")
+    # identity is exact for already-well-formed unicode (all test inputs);
+    # ftfy only repairs mojibake
+    ftfy.fix_text = lambda s, **kw: s
+    sys.modules["ftfy"] = ftfy
+
+
 def _stub_diffdist():
     if "diffdist" in sys.modules:
         return
@@ -213,6 +223,7 @@ def ensure_loaded():
     _stub_timm(torch, nn)
     _stub_torchvision(torch)
     _stub_diffdist()
+    _stub_ftfy()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     _synthetic_pkg("core", REF_ROOT + "/core")

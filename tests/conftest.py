@@ -19,6 +19,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _reset_attention_mesh():
+    """Trainers register the active mesh in module globals (ops/attention.py)
+    so the fused kernels can shard_map; clear it between tests so a
+    mesh-building test can't leak sharding behavior into a unit test."""
+    yield
+    from libcontinual_tpu.ops.attention import (
+        set_active_mesh, set_active_mesh_devices,
+    )
+
+    set_active_mesh(None)
+    set_active_mesh_devices(None)
+
+
 @pytest.fixture
 def tiny_config():
     """2-task micro-run config on synthetic data."""

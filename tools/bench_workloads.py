@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Multi-workload step-throughput bench: one row per method family at its
+shipped geometry, on the real TPU chip.
+
+The headline bench (bench.py) measures L2P only; this table demonstrates the
+framework's perf across the zoo: prompt methods (L2P / DualPrompt / CODA),
+CLIP both-towers contrastive (MoE-Adapter4CL), ResNet rehearsal (iCaRL),
+and OCM's 16x-expanded online step — the suspected worst case.
+
+Timing protocol (axon tunnel): scalar fetch after a 10-step lax.scan;
+block_until_ready does not synchronize through the tunnel.
+
+Usage: python tools/bench_workloads.py [--only NAME]
+Appends a markdown table to stdout; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_method(name, classifier_kwargs, backbone, extra_cfg=None,
+                 batch_size=128, num_class=100, image_size=32):
+    from libcontinual_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    import libcontinual_tpu.methods  # noqa: F401
+    from libcontinual_tpu.config import Config
+    from libcontinual_tpu.registry import METHODS
+
+    cfg = Config(overrides={
+        "dataset": "synthetic",
+        "data_root": "",
+        "image_size": image_size,
+        "task_num": 10,
+        "init_cls_num": num_class // 10,
+        "inc_cls_num": num_class // 10,
+        "epoch": 1,
+        "batch_size": batch_size,
+        "seed": 1993,
+        "dtype": "bfloat16",
+        "mesh": {"data": 1, "model": 1},
+        "backbone": {"name": backbone[0], "kwargs": backbone[1]},
+        "classifier": {
+            "name": name,
+            "kwargs": {
+                "num_class": num_class, "feat_dim": backbone[2],
+                "init_cls_num": num_class // 10,
+                "inc_cls_num": num_class // 10, "task_num": 10,
+                **classifier_kwargs,
+            },
+        },
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 1e-3}},
+        "lr_scheduler": {"name": "Constant"},
+        **(extra_cfg or {}),
+    }).get_config_dict()
+    return METHODS.get(name)(cfg), cfg
+
+
+def time_step(method, cfg, task_idx=0, n_steps=10):
+    bs = cfg["batch_size"]
+    rng = np.random.RandomState(0)
+    state = method.init_state(jax.random.PRNGKey(0), (32, 32, 3))
+    lo = 0 if task_idx == 0 else cfg["init_cls_num"] + (task_idx - 1) * cfg["inc_cls_num"]
+    hi = lo + (cfg["init_cls_num"] if task_idx == 0 else cfg["inc_cls_num"])
+    state = method.start_task(state, task_idx, lo, hi)
+    images = jnp.asarray(rng.randint(0, 255, (bs, 32, 32, 3), np.uint8))
+    labels = jnp.asarray(rng.randint(lo, hi, (bs,), np.int32))
+    weight = jnp.ones((bs,), jnp.float32)
+    lr = jnp.float32(1e-3)
+    tx = method._tx_for_task(task_idx)
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            batch = {"image": images, "label": labels, "weight": weight}
+            st, m = method.train_step(st, batch, lr, tx=tx)
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return st, jnp.sum(losses)
+
+    state, s = run(state)
+    float(s)  # compile + warm
+    t0 = time.perf_counter()
+    state, s = run(state)
+    float(s)
+    dt = time.perf_counter() - t0
+    return n_steps * bs / dt
+
+
+WORKLOADS = {
+    # prompt family, ViT-B/16, CIFAR-100 b10-inc10 shipped geometry
+    "L2P": lambda: build_method(
+        "L2P", {"prompt_length": 5, "pool_size": 10, "top_k": 5,
+                "pull_constraint_coeff": 0.1},
+        ("ViTZoo", {}, 768)),
+    "DualPrompt": lambda: build_method(
+        "DualPrompt", {"prompt_length": 5, "top_k": 1, "g_prompt_length": 5,
+                       "e_prompt_length": 20},
+        ("ViTZoo", {}, 768)),
+    "CODAPrompt": lambda: build_method(
+        "CODAPrompt", {"prompt_param": [100, 8, 0.0]},
+        ("ViTZoo", {}, 768)),
+    # CLIP contrastive, both towers + MoE adapters (b10-10-10 geometry)
+    "MoE_Adapter4CL": lambda: build_method(
+        "MOE_ADAPTER4CL", {}, ("clip", {"moe_experts": 2}, 512),
+        batch_size=64),
+    # ResNet rehearsal (cifar stem), iCaRL b10-inc10 geometry
+    "iCaRL_resnet18": lambda: build_method(
+        "ICarl", {}, ("resnet18", {}, 512),
+        extra_cfg={"dataset": "cifar100"}),
+    # online: 16x rotation expansion + simclr aug + joint replay forward —
+    # measured at the incremental-task shape (the expensive one)
+    "OCM_resnet18": lambda: build_method(
+        "OCM", {"feat_dim": 512}, ("resnet18", {}, 512),
+        extra_cfg={"dataset": "cifar100",
+                   "buffer": {"name": "OnlineBuffer",
+                              "kwargs": {"buffer_size": 1000}}},
+        batch_size=10, num_class=100),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    rows = []
+    for name, builder in WORKLOADS.items():
+        if args.only and args.only.lower() not in name.lower():
+            continue
+        method, cfg = builder()
+        task_idx = 1 if name.startswith("OCM") else 0
+        if name.startswith("OCM"):
+            method._cur_task = 1  # incremental branch (joint replay forward)
+        ips = time_step(method, cfg, task_idx=task_idx)
+        rows.append((name, cfg["batch_size"], round(ips, 1)))
+        print(json.dumps({"workload": name, "batch": cfg["batch_size"],
+                          "img_per_sec": round(ips, 1)}), flush=True)
+    print("\n| Workload | Batch | img/s |")
+    print("|---|---|---|")
+    for name, bs, ips in rows:
+        print(f"| {name} | {bs} | {ips} |")
+
+
+if __name__ == "__main__":
+    main()
