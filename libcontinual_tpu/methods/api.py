@@ -1,24 +1,32 @@
 """API — Adaptive Plasticity Improvement (Liang & Li, CVPR 2023).
 
-Parity with reference core/model/api.py:
-  * task-incremental multi-head AlexNet training with DualGPM gradient
-    projection (remove/retain per layer, api.py:90-108);
-  * plasticity measurement: the per-layer ratio of projected-to-raw gradient
-    norms (``per_layer_retain``, api.py:103-104);
-  * ADAPTIVE CHANNEL EXPANSION (reference alexnet.py:160-303's
-    ``duplicate``/``expand``): when a layer's retained gradient fraction
-    drops below ``expand_thres``, the layer grows by ``expand_step``
-    channels before the new task;
-  * DualGPM subspace update at task boundaries.
+Re-derivation of reference core/model/api.py + backbone/alexnet.py
+(Conv2d_API/Linear_API):
 
-TPU re-design of the growth (the "per-task parameter growth under jit" hard
-case, SURVEY.md §7): every layer is preallocated at ``base + extra`` width;
-an active-channel mask per layer gates computation, and expansion is a mask
-flip + a host-side function-preserving weight duplication (new channel
-copies a high-norm source channel; the next layer's incoming weights for
-source and copy are halved — the network function is unchanged at the
-moment of expansion, mirroring the reference's duplicate trick). Shapes
-never change; one compiled step serves the whole run.
+  * task-incremental multi-head AlexNet with DualGPM gradient projection —
+    'remove' layers subtract the old-space component, 'retain' layers get
+    their OLD input columns frozen outright (the reference precomputes a
+    ZERO feature_mat for retain layers, api.py:293-297, so
+    ``grad[:, :expand] @ 0 = 0`` — a reference quirk mirrored here);
+  * plasticity measurement protocol (api.py:139-170): before each
+    incremental task, 5 "stage-1" epochs of SGD(lr=0.01) train the network
+    (BatchNorm and the expansion mixes frozen) with projected gradients,
+    accumulating ``||projected grad|| / ||raw grad||`` per layer every
+    step, plus one accumulate-only "stage-2" epoch; the average over
+    ``(5+1)*steps`` iterations is the per-layer retain ratio;
+  * ADAPTIVE INPUT EXPANSION (api.py:175-190): each layer grows
+    ``ceil((step - retain) * K)`` (step=0.5, K=10, clamped to the base
+    channel count) extra INPUT features, realized as learnable channel
+    mixes of the base input whose matrices are initialized from the top
+    singular vectors of a channel-importance matrix (per-channel spectral
+    norms of sampled activation patches, api.py:168-175);
+  * after each task, the DualGPM spaces are updated from 125 sampled
+    activation matrices; newly expanded dims enter a 'retain' layer's
+    space as identity directions first (api.py:205-222).
+
+TPU re-design: all capacity is preallocated (models/alexnet.py AlexNetAPI);
+expansion flips a ``ws_mask`` and writes one slab slot; the GPM projection,
+retain-freeze, and BN freeze are array masks inside the one compiled step.
 """
 
 from __future__ import annotations
@@ -31,11 +39,14 @@ import numpy as np
 
 from libcontinual_tpu.core.method import Method, masked_cross_entropy
 from libcontinual_tpu.core.state import TrainState, make_masks
+from libcontinual_tpu.methods.common import batch_iter
 from libcontinual_tpu.methods.inflora import dual_gpm_update
 from libcontinual_tpu.models.alexnet import CONV_SPECS, conv_patches
 from libcontinual_tpu.registry import METHODS
 
 LAYER_KERNELS = ["conv0_kernel", "conv1_kernel", "conv2_kernel", "fc3_kernel", "fc4_kernel"]
+BASE_IN = (3, 64, 128, 1024, 2048)
+KSIZE = (4, 3, 2, 1, 1)
 
 
 @METHODS.register("API")
@@ -43,24 +54,26 @@ class API(Method):
     supports_task_aware = True
     n_sample = 125
     conv_batch = [24, 100, 100]
+    host_state_attrs = ("_feature_list", "_project_type", "_ws_counts")
 
     def __init__(self, config, mesh_ctx=None):
-        config["backbone"] = {
-            "name": "AlexNet_API",
-            "kwargs": (config.get("backbone") or {}).get("kwargs") or {},
-        }
+        bb_kwargs = dict((config.get("backbone") or {}).get("kwargs") or {})
+        ck = (config.get("classifier") or {}).get("kwargs") or {}
+        bb_kwargs["task_num"] = int(ck.get("task_num") or config["task_num"])
+        config["backbone"] = {"name": "AlexNet_API", "kwargs": bb_kwargs}
         super().__init__(config, mesh_ctx)
-        self.extra = self.backbone.extra
         self.lame = float(self.kwargs.get("lame", 1.0))
         self.lamb = float(self.kwargs.get("lamb", 0.97))
-        self.expand_thres = float(self.kwargs.get("expand_thres", 0.4))
-        self.expand_step = int(self.kwargs.get("expand_step", 16))
+        self.step_c = float(self.kwargs.get("step", 0.5))  # api.py:60
+        self.K = int(self.kwargs.get("K", 10))
+        self.stage1_epochs = int(self.kwargs.get("stage1_epochs", 5))
+        self.stage1_lr = float(self.kwargs.get("stage1_lr", 0.01))
         self._feature_list: List[np.ndarray] = []
         self._project_type: List[str] = []
-        self.widths = self.backbone.widths()
+        # per (layer, slot) active extra count — host mirror of ws_mask
+        self._ws_counts = np.zeros((5, self.backbone.slots), np.int64)
         self.in_flats = self.backbone.in_flats()
-        self.base_widths = [s["features"] for s in CONV_SPECS] + [2048, 2048]
-        self.feat_dim = self.widths[-1]
+        self.feat_dim = 2048
 
     def head_module(self):
         from libcontinual_tpu.models.heads import LinearHead
@@ -72,11 +85,8 @@ class API(Method):
     def init_state(self, rng, sample_input_hw):
         k1, k2, k3 = jax.random.split(rng, 3)
         dummy = self.model_input(sample_input_hw)
-        active0 = [
-            jnp.asarray((np.arange(w) < b).astype(np.float32))
-            for w, b in zip(self.widths, self.base_widths)
-        ]
-        variables = self.backbone.init(k1, dummy, active0, train=False)
+        mask0 = self._ws_mask_arrays()
+        variables = self.backbone.init(k1, dummy, mask0, train=False)
         params = {"backbone": variables["params"]}
         self._head = self.head_module()
         params["head"] = self._head.init(
@@ -85,9 +95,13 @@ class API(Method):
         seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
         mvars = {
             "model_state": {},
-            "active": active0,
+            "ws_mask": mask0,
             "proj": [jnp.zeros((d, d), jnp.float32) for d in self.in_flats],
             "proj_sign": jnp.ones((len(LAYER_KERNELS),), jnp.float32),
+            # input dims active BEFORE the current task's expansion — the
+            # reference projects grad[:, :expand] only (api.py:92-99)
+            "old_rows": [jnp.asarray(m, jnp.float32)
+                         for m in self._row_masks(self._ws_counts)],
         }
         return TrainState(
             params=params,
@@ -100,12 +114,38 @@ class API(Method):
             prev_mask=prev,
         )
 
+    def _ws_mask_arrays(self, counts=None):
+        counts = self._ws_counts if counts is None else counts
+        ks = self.backbone.k_slot
+        out = []
+        for li in range(5):
+            m = (np.arange(ks)[None, :] < counts[li][:, None]).astype(np.float32)
+            out.append(jnp.asarray(m))
+        return out
+
+    def _row_masks(self, counts):
+        """Flat-row masks (per layer) of the ACTIVE input dims given per-slot
+        extra counts; kernel rows are flattened (kh, kw, C_full)."""
+        ks = self.backbone.k_slot
+        masks = []
+        for li in range(5):
+            base = BASE_IN[li]
+            E = self.backbone.extra_in
+            ch = np.zeros(base + E, np.float32)
+            ch[:base] = 1.0
+            for s in range(self.backbone.slots):
+                n = int(counts[li][s])
+                ch[base + s * ks: base + s * ks + n] = 1.0
+            k = KSIZE[li]
+            masks.append(np.tile(ch, k * k))  # (kh,kw,C) flat order
+        return masks
+
     # ---------------------------------------------------------------- forward
 
     def _apply(self, params, mvars, x, train, capture=False, rng=None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
         return self.backbone.apply(
-            {"params": params["backbone"]}, x, mvars["active"],
+            {"params": params["backbone"]}, x, mvars["ws_mask"],
             train=train, capture=capture, rngs=rngs,
         )
 
@@ -117,115 +157,158 @@ class API(Method):
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
         return ce, {"logits": masked, "model_state": {}}
 
-    def transform_grads(self, grads, state):
-        grads = jax.tree_util.tree_map(lambda x: x, grads)
-        bb = dict(grads["backbone"])
-        for li, (name, proj) in enumerate(zip(LAYER_KERNELS, state.mvars["proj"])):
+    def _project_grads(self, grads_bb, mvars):
+        """DualGPM projection on the OLD input rows of each layer kernel:
+        remove -> g - P g; retain -> P g with P = 0 (reference freeze,
+        api.py:293-297). New rows (this task's expansion) train free."""
+        bb = dict(grads_bb)
+        for li, name in enumerate(LAYER_KERNELS):
             g = bb[name]
             shape = g.shape
             gf = g.reshape(-1, shape[-1])
+            proj = mvars["proj"][li]
+            old = mvars["old_rows"][li][:, None]
+            sign = mvars["proj_sign"][li]
             projected = proj @ gf
-            sign = state.mvars["proj_sign"][li]
-            bb[name] = jnp.where(sign > 0, gf - projected, projected).reshape(shape)
-        grads["backbone"] = bb
+            eff = jnp.where(sign > 0, gf - projected, projected)
+            bb[name] = (old * eff + (1.0 - old) * gf).reshape(shape)
+        return bb
+
+    def transform_grads(self, grads, state):
+        grads = jax.tree_util.tree_map(lambda x: x, grads)
+        grads["backbone"] = self._project_grads(grads["backbone"], state.mvars)
         return grads
+
+    def trainable_mask(self, state):
+        """BatchNorm trains only on task 0 (reference api.py:148-152)."""
+        frozen_bn = jnp.where(state.task > 0, 0.0, 1.0)
+
+        def leaf_mask(path, leaf):
+            keys = [getattr(p, "key", "") for p in path]
+            if any(str(k).startswith("bn") for k in keys):
+                return jnp.broadcast_to(frozen_bn, leaf.shape)
+            return jnp.ones_like(leaf)
+
+        return jax.tree_util.tree_map_with_path(leaf_mask, state.params)
+
+    # --------------------------------------------------- stage-1/2 protocol
+
+    def _stage_step_fn(self):
+        if hasattr(self, "_stage_step"):
+            return self._stage_step
+
+        @jax.jit
+        def stage_step(params, mvars, seen, prev, images, labels, weight, lr):
+            def lfn(p):
+                x = self.augment(None, images, train=False)
+                out = self._apply(p, mvars, x, True)
+                logits = self._head.apply({"params": p["head"]}, out["features"])
+                cur = seen - prev
+                return masked_cross_entropy(logits, labels, weight, cur)
+
+            grads = jax.grad(lfn)(params)
+            raw = [jnp.linalg.norm(grads["backbone"][n]) for n in LAYER_KERNELS]
+            gbb = self._project_grads(grads["backbone"], mvars)
+            ratios = jnp.stack([
+                jnp.linalg.norm(gbb[n]) / jnp.maximum(r, 1e-12)
+                for n, r in zip(LAYER_KERNELS, raw)
+            ])
+            # stage-1 SGD(0.01): kernels + head only — bn and the expansion
+            # mixes are excluded (api.py:148-152, get_parameters additional)
+            params = dict(params)
+            bb = dict(params["backbone"])
+            for n in LAYER_KERNELS:
+                bb[n] = bb[n] - lr * gbb[n]
+            params["backbone"] = bb
+            head = jax.tree_util.tree_map(
+                lambda p, g: p - lr * g, params["head"], grads["head"]
+            )
+            params["head"] = head
+            return params, ratios
+
+        self._stage_step = stage_step
+        return stage_step
+
+    def _run_stage_protocol(self, state, task_data):
+        """5 stage-1 training epochs + 1 stage-2 accumulation pass
+        (reference before_task, api.py:154-170). Returns (params, retain)."""
+        step = self._stage_step_fn()
+        bs = int(self.config["batch_size"])
+        params = state.params
+        total = np.zeros(5)
+        n_iter = 0
+        for ep in range(self.stage1_epochs + 1):
+            lr = self.stage1_lr if ep < self.stage1_epochs else 0.0
+            for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
+                params, ratios = step(
+                    params, state.mvars, state.seen_mask, state.prev_mask,
+                    im, lb.astype(np.int32), w, jnp.float32(lr),
+                )
+                total += np.asarray(ratios)
+                n_iter += 1
+        return params, total / max(n_iter, 1)
 
     # ------------------------------------------------------------- expansion
 
-    def _retain_ratios(self, state, task_data) -> np.ndarray:
-        """||DualGPM-projected grad|| / ||grad|| per layer from one batch
-        (the reference accumulates this per step, api.py:103-104)."""
-        bs = min(int(self.config["batch_size"]), len(task_data))
-        im = jnp.asarray(task_data.images[:bs])
-        lb = jnp.asarray(task_data.labels[:bs].astype(np.int32))
-
-        def lfn(p):
-            x = self.augment(None, im, train=False)
-            out = self._apply(p, state.mvars, x, False)
-            logits = self._head.apply({"params": p["head"]}, out["features"])
-            cur = state.seen_mask - state.prev_mask
-            return masked_cross_entropy(logits, lb, None, cur)
-
-        g = jax.grad(lfn)(state.params)
-        ratios = np.zeros(len(LAYER_KERNELS))
-        for li, name in enumerate(LAYER_KERNELS):
-            gm = np.asarray(g["backbone"][name], np.float64)
-            gf = gm.reshape(-1, gm.shape[-1])
-            proj = np.asarray(state.mvars["proj"][li], np.float64)
-            sign = float(state.mvars["proj_sign"][li])
-            eff = gf - proj @ gf if sign > 0 else proj @ gf
-            ratios[li] = np.linalg.norm(eff) / max(np.linalg.norm(gf), 1e-12)
-        return ratios
-
-    def _expand_layer(self, params_np, active_np, li, n_new, rng):
-        """Function-preserving channel duplication into masked capacity."""
-        act = active_np[li]
-        inactive = np.nonzero(act == 0)[0]
-        if len(inactive) == 0:
-            return 0
-        n_new = min(n_new, len(inactive))
-        kname = LAYER_KERNELS[li]
-        kern = params_np["backbone"][kname]
-        active_idx = np.nonzero(act > 0)[0]
-        norms = np.linalg.norm(kern.reshape(-1, kern.shape[-1])[:, active_idx], axis=0)
-        sources = active_idx[np.argsort(norms)[::-1][: max(n_new, 1)]]
-        for j in range(n_new):
-            dst = inactive[j]
-            src = sources[j % len(sources)]
-            kern[..., dst] = kern[..., src] + rng.randn(*kern[..., src].shape) * 1e-3
-            # bn params follow the source channel
-            bn = params_np["backbone"][f"bn{li}"]
-            bn["scale"][dst] = bn["scale"][src]
-            bn["bias"][dst] = bn["bias"][src]
-            act[dst] = 1.0
-            # halve + copy the next layer's incoming weights (duplicate trick)
-            if li < 2:  # conv -> conv: kernel (k, k, in, out)
-                nxt = params_np["backbone"][LAYER_KERNELS[li + 1]]
-                nxt[:, :, src, :] = nxt[:, :, src, :] / 2.0
-                nxt[:, :, dst, :] = nxt[:, :, src, :]
-            elif li == 2:  # conv3 -> fc3: rows are NHWC-flattened (2, 2, C)
-                nxt = params_np["backbone"]["fc3_kernel"]
-                C = self.widths[2]
-                for h in range(2):
-                    for w in range(2):
-                        r_src = h * 2 * C + w * C + src
-                        r_dst = h * 2 * C + w * C + dst
-                        nxt[r_src, :] = nxt[r_src, :] / 2.0
-                        nxt[r_dst, :] = nxt[r_src, :]
-            elif li == 3:  # fc3 -> fc4
-                nxt = params_np["backbone"]["fc4_kernel"]
-                nxt[src, :] = nxt[src, :] / 2.0
-                nxt[dst, :] = nxt[src, :]
-            else:  # fc4 -> head
-                head = params_np["head"]["Dense_0"]["kernel"]
-                head[src, :] = head[src, :] / 2.0
-                head[dst, :] = head[src, :]
-        return n_new
+    def _importance_ws(self, state, task_data):
+        """Per-layer channel-importance SVD bases U (base_in, base_in)
+        (api.py:168-181): spectral norm of each base channel's activation
+        patch window, over 125 sampled patches/rows."""
+        mats = self._activation_mats(state, task_data)
+        out = []
+        for li, mat in enumerate(mats):
+            base, k = BASE_IN[li], KSIZE[li]
+            # mat: (flat_rows, n_cols) in (kh, kw, C_full) row order; the
+            # reference reduces only the BASE channel block (api.py:170)
+            n_cols = mat.shape[1]
+            full_c = mat.shape[0] // (k * k)
+            m = mat.reshape(k, k, full_c, n_cols)[:, :, :base, :]
+            m = np.transpose(m, (3, 2, 0, 1))  # (cols, base, k, k)
+            imp = np.linalg.norm(m, ord=2, axis=(2, 3)).T  # (base, cols)
+            u, _, _ = np.linalg.svd(imp, full_matrices=False)
+            out.append(u)
+        return out
 
     def before_task(self, state, task_idx, task_data):
         if task_idx == 0:
             return state
-        ratios = self._retain_ratios(state, task_data)
-        if np.all(ratios >= self.expand_thres):
-            return state
-        params_np = jax.tree_util.tree_map(
-            lambda x: np.array(x), state.params
-        )
-        active_np = [np.array(a) for a in state.mvars["active"]]
-        rng = np.random.RandomState(task_idx)
-        grown = []
-        for li, r in enumerate(ratios):
-            if r < self.expand_thres:
-                n = self._expand_layer(params_np, active_np, li, self.expand_step, rng)
-                if n:
-                    grown.append((li, n))
-        if not grown:
-            return state
+        params, retain = self._run_stage_protocol(state, task_data)
+        state = state.replace(params=params)
+        self.per_layer_retain = retain  # diagnostic
+        u_list = self._importance_ws(state, task_data)
+
+        ks = self.backbone.k_slot
+        slot = task_idx - 1
+        params_np = {"ws": {}}
+        counts = self._ws_counts.copy()
+        new_ws = {}
+        for li in range(5):
+            expand_dim = max((self.step_c - retain[li]) * self.K, 0.0)
+            size = int(max(min(int(np.ceil(expand_dim)), BASE_IN[li]), 0))
+            size = min(size, ks)
+            counts[li][slot] = size
+            if size:
+                w = np.zeros((BASE_IN[li], ks), np.float32)
+                w[:, :size] = u_list[li][:, :size]
+                new_ws[li] = w
+        # write slab slots + flip masks
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        bb = dict(params["backbone"])
+        for li, w in new_ws.items():
+            slab = np.array(bb[f"ws{li}"])
+            slab[slot] = w
+            bb[f"ws{li}"] = jnp.asarray(slab)
+        params["backbone"] = bb
+        self._ws_counts = counts
         mvars = dict(state.mvars)
-        mvars["active"] = [jnp.asarray(a) for a in active_np]
-        params = jax.tree_util.tree_map(jnp.asarray, params_np)
-        state = state.replace(params=params, mvars=mvars)
-        return state
+        mvars["ws_mask"] = self._ws_mask_arrays(counts)
+        # old_rows stays at the PRE-expansion dims for this task's training
+        prev_counts = counts.copy()
+        prev_counts[:, slot:] = 0
+        mvars["old_rows"] = [
+            jnp.asarray(m, jnp.float32) for m in self._row_masks(prev_counts)
+        ]
+        return state.replace(params=params, mvars=mvars)
 
     # ---------------------------------------------------------------- dualgpm
 
@@ -247,16 +330,44 @@ class API(Method):
 
     def after_task(self, state, task_idx, task_data):
         mats = self._activation_mats(state, task_data)
+        # newly expanded dims of THIS task enter a retain layer's space as
+        # identity directions (api.py:205-216); for remove layers the
+        # full-width zero rows are already implicit
+        if task_idx > 0 and self._feature_list:
+            slot = task_idx - 1
+            ks = self.backbone.k_slot
+            for li in range(5):
+                n = int(self._ws_counts[li][slot])
+                if n == 0 or self._project_type[li] != "retain":
+                    continue
+                k = KSIZE[li]
+                D = self.in_flats[li]
+                full_c = D // (k * k)
+                new_dims = []
+                c0 = BASE_IN[li] + slot * ks
+                for kk in range(k * k):
+                    for c in range(c0, c0 + n):
+                        new_dims.append(kk * full_c + c)
+                eye = np.zeros((D, len(new_dims)))
+                eye[new_dims, np.arange(len(new_dims))] = 1.0
+                self._feature_list[li] = np.hstack(
+                    [self._feature_list[li], eye]
+                )
         threshold = (self.lame - self.lamb) * task_idx / self.task_num + self.lamb
         dual_gpm_update(self._feature_list, self._project_type, mats, threshold)
         signs = np.asarray(
             [1.0 if t == "remove" else -1.0 for t in self._project_type], np.float32
         )
         mvars = dict(state.mvars)
+        # feature_mat per reference api.py:293-297: remove -> U U^T,
+        # retain -> ZEROS (old rows freeze)
         mvars["proj"] = [
-            jnp.asarray((u @ u.T).astype(np.float32)) if u.size
+            jnp.asarray((u @ u.T).astype(np.float32))
+            if (u.size and t == "remove")
             else jnp.zeros((d, d), jnp.float32)
-            for u, d in zip(self._feature_list, self.in_flats)
+            for u, t, d in zip(
+                self._feature_list, self._project_type, self.in_flats
+            )
         ]
         mvars["proj_sign"] = jnp.asarray(signs)
         return state.replace(mvars=mvars)

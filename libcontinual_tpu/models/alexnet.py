@@ -126,71 +126,102 @@ def alexnet_trgp(**kwargs):
 
 
 class AlexNetAPI(nn.Module):
-    """API's expandable AlexNet (reference alexnet.py:160-303), fixed-shape:
-    every layer is allocated at ``base + extra`` width up front and an
-    ``active`` mask (one vector per layer, passed as input) gates which
-    output channels exist. Expansion = unmasking channels (+ host-side
-    weight duplication); no shape ever changes, so one compiled step serves
-    the entire run. Masks apply after BN+ReLU so inactive channels are
-    exactly zero downstream.
+    """API's input-expandable AlexNet (reference alexnet.py:100-303).
+
+    The reference grows each projected layer's INPUT side: forward
+    concatenates ``[x] + [x @ w_t for t in expansions]`` where each ``w_t``
+    is a learnable channel-mix matrix initialized from the top singular
+    vectors of a channel-importance matrix, and ``duplicate`` widens the
+    layer weight's input dimension (Conv2d_API/Linear_API, alexnet.py
+    :160-232). Output widths never change.
+
+    Fixed-shape TPU formulation: every kernel is preallocated with
+    ``base_in + slots*k_slot`` input dims and ``extra_ws`` is a per-layer
+    ``(slots, base_in, k_slot)`` parameter slab; ``ws_mask`` (one
+    ``(slots, k_slot)`` float array per layer, passed as input) gates which
+    extra inputs exist, so expansion is a mask flip + slab write and one
+    compiled step serves the whole run. Inactive extras are exactly zero,
+    so their kernel columns receive zero gradient until activated.
     """
 
-    extra: int = 64  # extra capacity per layer
+    slots: int = 9  # task_num - 1 expansion slots
+    k_slot: int = 5  # max extras per task: ceil(step*K) = ceil(0.5*10)
     dropout1: float = 0.2
     dropout2: float = 0.5
     dtype: Any = jnp.float32
 
-    def widths(self):
-        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
-        fc_w = [s["features"] + self.extra for s in FC_SPECS]
-        return conv_w + fc_w
+    BASE_IN = (3, 64, 128, 1024, 2048)
+
+    @property
+    def extra_in(self) -> int:
+        return self.slots * self.k_slot
 
     def in_flats(self):
-        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
+        E = self.extra_in
         return [
-            3 * 16,
-            conv_w[0] * 9,
-            conv_w[1] * 4,
-            conv_w[2] * 4,  # conv3 output is 2x2 spatial
-            FC_SPECS[0]["features"] + self.extra,
+            (3 + E) * 16, (64 + E) * 9, (128 + E) * 4,
+            1024 + E, 2048 + E,
         ]
 
     @nn.compact
-    def __call__(self, x, active, train: bool = True, capture: bool = False):
+    def __call__(self, x, ws_mask, train: bool = True, capture: bool = False):
         captured = []
-        conv_w = [s["features"] + self.extra for s in CONV_SPECS]
-        fc_w = [s["features"] + self.extra for s in FC_SPECS]
-        in_ch = [3, conv_w[0], conv_w[1]]
+        E = self.extra_in
         has_drop = train and self.has_rng("dropout")
+
+        def expanded(i, x):
+            """cat([x] + masked channel-mixes) along the feature axis."""
+            base = self.BASE_IN[i]
+            ws = self.param(
+                f"ws{i}", nn.initializers.zeros,
+                (self.slots, base, self.k_slot),
+            )
+            m = ws_mask[i]  # (slots, k_slot)
+            if x.ndim == 4:
+                ex = jnp.einsum(
+                    "bhwc,scj->bhwsj", x.astype(self.dtype),
+                    ws.astype(self.dtype),
+                )
+                ex = ex * m[None, None, None, :, :].astype(self.dtype)
+                ex = ex.reshape(x.shape[0], x.shape[1], x.shape[2], E)
+            else:
+                ex = jnp.einsum(
+                    "bc,scj->bsj", x.astype(self.dtype), ws.astype(self.dtype)
+                )
+                ex = ex * m[None, :, :].astype(self.dtype)
+                ex = ex.reshape(x.shape[0], E)
+            return jnp.concatenate([x.astype(self.dtype), ex], axis=-1)
+
         for i, spec in enumerate(CONV_SPECS):
             k = spec["kernel"]
+            x = expanded(i, x)
             kernel = self.param(
                 f"conv{i}_kernel", nn.initializers.kaiming_normal(),
-                (k, k, in_ch[i], conv_w[i]),
+                (k, k, self.BASE_IN[i] + E, spec["features"]),
             )
             if capture:
                 captured.append(x)
             x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                x, kernel.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             x = _BatchStatsNorm(name=f"bn{i}")(x)
-            x = nn.relu(x) * active[i][None, None, None, :]
+            x = nn.relu(x)
             rate = self.dropout1 if i < 2 else self.dropout2
             x = nn.Dropout(rate, deterministic=not has_drop, name=f"drop{i}")(x)
             x = nn.max_pool(x, (2, 2), (2, 2))
-        x = x.reshape(x.shape[0], -1)
-        fc_in = [4 * conv_w[2], fc_w[0]]
+        x = x.reshape(x.shape[0], -1)  # (B, 2*2*256) = (B, 1024)
         for j in range(2):
+            x = expanded(3 + j, x)
             kernel = self.param(
                 f"fc{3 + j}_kernel", nn.initializers.kaiming_normal(),
-                (fc_in[j], fc_w[j]),
+                (self.BASE_IN[3 + j] + E, FC_SPECS[j]["features"]),
             )
             if capture:
                 captured.append(x)
-            x = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            x = x @ kernel.astype(self.dtype)
             x = _BatchStatsNorm(name=f"bn{3 + j}")(x)
-            x = nn.relu(x) * active[3 + j][None, :]
+            x = nn.relu(x)
             x = nn.Dropout(
                 self.dropout2, deterministic=not has_drop, name=f"drop{3 + j}"
             )(x)
@@ -203,7 +234,8 @@ class AlexNetAPI(nn.Module):
 @BACKBONES.register("AlexNet_API", aliases=("alexnet_api",))
 def alexnet_api(**kwargs):
     return AlexNetAPI(
-        extra=int(kwargs.get("extra", 64)), dtype=kwargs.get("dtype", jnp.float32)
+        slots=int(kwargs.get("task_num", 10)) - 1,
+        dtype=kwargs.get("dtype", jnp.float32),
     )
 
 

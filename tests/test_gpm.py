@@ -58,7 +58,7 @@ def test_api_til(tiny_config):
         "name": "API",
         "kwargs": {"num_class": 8, "feat_dim": 2048, "init_cls_num": 4,
                    "inc_cls_num": 4, "task_num": 2, "lame": 1.0, "lamb": 0.97,
-                   "expand_thres": 2.0, "expand_step": 8},  # force expansion
+                   "stage1_epochs": 1},  # keep the warmup protocol short
     }
     cfg["setting"] = "task-aware"
     cfg["epoch"] = 2
@@ -70,7 +70,15 @@ def test_api_til(tiny_config):
     assert np.isfinite(res["acc_table"]).all()
     assert len(tr.method._project_type) == 5
     assert set(tr.method._project_type) <= {"remove", "retain"}
-    # channel expansion actually grew active widths beyond the base
-    import numpy as _np
-    actives = [int(_np.asarray(a).sum()) for a in tr.state.mvars["active"]]
-    assert any(a > b for a, b in zip(actives, tr.method.base_widths))
+    # retain ratios were measured by the stage protocol
+    assert np.all(np.isfinite(tr.method.per_layer_retain))
+    # input expansion: ceil((0.5 - retain)*10) extras when retain < 0.5 —
+    # counts recorded per (layer, slot) and the ws slab carries the SVD init
+    counts = tr.method._ws_counts
+    expected = [min(max(int(np.ceil((0.5 - r) * 10)), 0), b, 5)
+                for r, b in zip(tr.method.per_layer_retain, [3, 64, 128, 1024, 2048])]
+    assert [int(c[0]) for c in counts] == expected
+    if any(expected):
+        li = next(i for i, e in enumerate(expected) if e)
+        slab = np.asarray(tr.state.params["backbone"][f"ws{li}"][0])
+        assert np.abs(slab[:, :expected[li]]).sum() > 0
