@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -101,6 +102,30 @@ class Bottleneck(nn.Module):
         return nn.relu(y) if self.last_relu else y
 
 
+class _Im2ColStem(nn.Module):
+    """3x3 stride-1 pad-1 conv expressed as im2col + one dense matmul —
+    bit-identical math, same param path/shape (``kernel`` (3,3,C,F)) as the
+    nn.Conv form, so checkpoints are interchangeable."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.kaiming_normal(), (3, 3, c, self.features)
+        )
+        pat = jax.lax.conv_general_dilated_patches(
+            x.astype(self.dtype), (3, 3), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H, W, C*9) channel-major feature order
+        b, h, w, f = pat.shape
+        kf = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(f, self.features)
+        out = pat.reshape(-1, f) @ kf.astype(self.dtype)
+        return out.reshape(b, h, w, self.features)
+
+
 class ResNet(nn.Module):
     """torchvision-style ResNet with optional CIFAR stem."""
 
@@ -123,7 +148,19 @@ class ResNet(nn.Module):
         )
         x = x.astype(self.dtype)
         if self.cifar_stem:
-            x = conv(self.num_filters, (3, 3), name="conv_stem")(x)
+            import os
+
+            if os.environ.get("LIBCONTINUAL_STEM") == "matmul":
+                # exact im2col form of the 3x3 stride-1 stem: the 3-channel
+                # input pads 3->8 sublanes in conv form; as a (B*H*W, 27)
+                # @ (27, 64) matmul the rows are dense (A/B-able lever for
+                # the conv-bound resnet workloads; see BASELINE.md round-3).
+                # Same param path/shape (conv_stem/kernel) as the conv form.
+                x = _Im2ColStem(
+                    self.num_filters, dtype=self.dtype, name="conv_stem"
+                )(x)
+            else:
+                x = conv(self.num_filters, (3, 3), name="conv_stem")(x)
             x = norm(name="bn_stem")(x)
             x = nn.relu(x)
         else:

@@ -105,11 +105,11 @@ WORKLOADS = {
                 "pull_constraint_coeff": 0.1},
         ("ViTZoo", {}, 768)),
     "DualPrompt": lambda: build_method(
-        "DualPrompt", {"prompt_length": 5, "top_k": 1, "g_prompt_length": 5,
-                       "e_prompt_length": 20},
+        "DualPrompt", {"e_prompt_length": 20, "g_prompt_length": 6,
+                       "pool_size": 10},
         ("ViTZoo", {}, 768)),
     "CODAPrompt": lambda: build_method(
-        "CODAPrompt", {"prompt_param": [100, 8, 0.0]},
+        "CodaPrompt", {"prompt_length": 8, "pool_size": 100, "mu": 0.0},
         ("ViTZoo", {}, 768)),
     # CLIP contrastive, both towers + MoE adapters (b10-10-10 geometry)
     "MoE_Adapter4CL": lambda: build_method(

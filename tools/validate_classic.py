@@ -37,8 +37,13 @@ COMMON = {"num_class": 20, "feat_dim": 64, "init_cls_num": 4,
 
 METHODS = [
     ("Finetune", "Finetune", {}, 0, "random"),
+    # two lambda points per regularizer: the strong one shows the stability
+    # extreme, the moderate one must beat Finetune's last-avg to demonstrate
+    # the stability-plasticity tradeoff actually works
     ("EWC (lam=500)", "EWC", {"lamda": 500.0}, 0, "random"),
+    ("EWC (lam=10)", "EWC", {"lamda": 10.0}, 0, "random"),
     ("LwF (lam=1)", "LWF", {"lamda": 1.0}, 0, "random"),
+    ("LwF (lam=3)", "LWF", {"lamda": 3.0}, 0, "random"),
     ("WA (buffer 200)", "WA", {}, 200, "random"),
     ("iCaRL (buffer 200)", "ICarl", {}, 200, "herding"),
 ]
