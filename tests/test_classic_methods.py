@@ -54,12 +54,17 @@ def test_ewc(tiny_config):
 
 
 def test_lwf(tiny_config):
-    cfg = make_cfg(tiny_config, "LWF", {"lamda": 0.5}, buffer_size=0)
+    # lamda=3 is the reference's hardcoded distillation weight (lwf.py:65)
+    cfg = make_cfg(tiny_config, "LWF", {"lamda": 3.0}, buffer_size=0)
     cfg["epoch"] = 5
     tr, res = run(cfg)
     # distillation's contract is retention: task-0 accuracy survives task 1
-    # (naive finetune drops to ~0 here)
-    assert res["acc_table"][1, 0] > 50.0
+    # well above naive finetune's ~0. (Threshold recalibrated after the
+    # round-3 parity fix: task-0 CE now spans only the init_cls-wide head as
+    # the reference does, so unseen columns keep their init values instead
+    # of being suppressed — the old >50 reading came from that suppression.)
+    assert res["acc_table"][1, 0] > 10.0
+    assert res["acc_table"][1, 1] > 50.0  # plasticity preserved too
 
 
 def test_wa(tiny_config):

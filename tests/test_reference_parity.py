@@ -302,6 +302,89 @@ def test_inflora_stacked_lora_attention():
     _assert_close(t_out, j_out, "InfLoRA stacked k/v LoRA attention")
 
 
+def test_clip_visual_tower(ref_tf):
+    """OpenAI-CLIP visual tower (reference transformer.py:2086-2139):
+    biasless patch conv, class+positional embeddings, ln_pre, QuickGELU
+    blocks, ln_post on the CLS token, output projection."""
+    from libcontinual_tpu.models.vit import VisionTransformer as FViT
+
+    depth, d, heads, out_dim = 2, 64, 4, 32
+    tm = ref_tf.VisualTransformer(
+        img_size=32, patch_size=16, width=d, depth=depth, heads=heads,
+        output_dim=out_dim, act_layer=ref_tf.QuickGELU)
+    g = torch.Generator().manual_seed(91)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.uniform_(-0.08, 0.08, generator=g)
+    _align_ln_eps(tm)  # documented eps deviation (PARITY.md)
+    tm.eval()
+
+    fvit = FViT(img_size=32, patch_size=16, embed_dim=d, depth=depth,
+                num_heads=heads, dtype=jnp.float32, ln_pre=True,
+                act="quick_gelu")
+    params = {
+        "patch_embed": {"kernel": S.conv_k(tm.conv1.weight),
+                        "bias": np.zeros((d,), np.float32)},
+        "cls_token": S.t2n(tm.class_embedding)[None, None, :],
+        "pos_embed": S.t2n(tm.positional_embedding)[None],
+        "ln_pre_n": S.ln_vars(tm.ln_pre),
+        "norm": S.ln_vars(tm.ln_post),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = S.sync_vit_block(tm.transformer.blocks[i])
+
+    tx, jx = _x(n=2, hw=32, seed=92)
+    with torch.no_grad():
+        t_out = tm(tx)
+    feats = fvit.apply({"params": params}, jx, train=False)["features"]
+    j_out = np.asarray(feats) @ S.t2n(tm.proj)
+    _assert_close(t_out, jnp.asarray(j_out), "CLIP visual tower output")
+
+
+def test_clip_text_tower(ref_tf):
+    """OpenAI-CLIP text tower (reference clip.py:385-398): token+positional
+    embeddings, causally-masked QuickGELU blocks, ln_final, EOT-token
+    readout through the text projection."""
+    from libcontinual_tpu.models.clip import TextTransformer
+
+    ref_clip = _refload.ref_module("core.model.backbone.clip")
+    depth, d, heads, out_dim, ctx, vocab = 2, 64, 4, 32, 16, 100
+    tm = ref_clip.CLIP(
+        embed_dim=out_dim, image_resolution=32, vision_layers=depth,
+        vision_width=64, vision_patch_size=16, context_length=ctx,
+        vocab_size=vocab, transformer_width=d, transformer_heads=heads,
+        transformer_layers=depth, act_layer=ref_tf.QuickGELU)
+    g = torch.Generator().manual_seed(93)
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.ndim:
+                p.uniform_(-0.08, 0.08, generator=g)
+    _align_ln_eps(tm)
+    tm.eval()
+
+    ft = TextTransformer(vocab_size=vocab, context_length=ctx, width=d,
+                         depth=depth, num_heads=heads, embed_dim=out_dim,
+                         dtype=jnp.float32)
+    params = {
+        "token_embedding": S.t2n(tm.token_embedding.weight),
+        "pos_embed": S.t2n(tm.positional_embedding),
+        "ln_final": S.ln_vars(tm.ln_final),
+        "text_projection": S.t2n(tm.text_projection),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = S.sync_vit_block(tm.transformer.blocks[i])
+
+    rng = np.random.RandomState(94)
+    toks = rng.randint(1, vocab - 1, size=(3, ctx))
+    toks[:, 0] = 0
+    toks[np.arange(3), rng.randint(2, ctx, size=3)] = vocab - 1  # EOT = max id
+    with torch.no_grad():
+        t_out = tm.encode_text(torch.from_numpy(toks))
+    j_out = ft.apply({"params": params}, jnp.asarray(toks.astype(np.int32)),
+                     train=False)["features"]
+    _assert_close(t_out, j_out, "CLIP text tower EOT features")
+
+
 def test_bic_resnet32_eval(ref_resnet):
     tm = ref_resnet.cifar_resnet32_V2()
     _randomize(tm, seed=8)
