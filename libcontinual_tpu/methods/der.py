@@ -206,7 +206,27 @@ class DER(Method):
         mvars["active"] = (
             jnp.arange(self.task_num) < task_idx + 1
         ).astype(jnp.float32)
-        return state.replace(mvars=mvars)
+        params = state.params
+        if task_idx > 0:
+            params = jax.tree_util.tree_map(lambda x: x, state.params)
+            # warm-start the new extractor from the previous one — reference
+            # update_fc copies the last convnet's state_dict into the new
+            # net (der.py:152-154), params AND BatchNorm running stats
+            params["backbone"] = jax.tree_util.tree_map(
+                lambda p: p.at[task_idx].set(p[task_idx - 1]),
+                params["backbone"],
+            )
+            mvars["model_state"] = jax.tree_util.tree_map(
+                lambda s: s.at[task_idx].set(s[task_idx - 1]),
+                state.mvars["model_state"],
+            )
+            # fresh aux head each task (reference regenerates aux_fc,
+            # der.py:172)
+            params["aux"] = self._aux.init(
+                jax.random.fold_in(state.rng, 1000 + task_idx),
+                jnp.zeros((2, self.feat_dim), jnp.float32),
+            )["params"]
+        return state.replace(params=params, mvars=mvars)
 
     def after_task(self, state, task_idx, task_data):
         """Weight align of new rows (der.py:184-192, WA-style)."""

@@ -235,4 +235,14 @@ def ensure_loaded():
 def ref_module(dotted: str):
     """Import a reference module, e.g. ref_module('core.model.backbone.resnet')."""
     ensure_loaded()
+    # some method modules do `from core.model.backbone import resnet18`:
+    # mirror the resnet factories onto the synthetic (init-less) backbone
+    # package without executing its heavyweight __init__
+    pkg = sys.modules["core.model.backbone"]
+    if not hasattr(pkg, "resnet18"):
+        rn = importlib.import_module("core.model.backbone.resnet")
+        for name in getattr(rn, "__all__", []):
+            setattr(pkg, name, getattr(rn, name))
+        for name in ("resnet18", "resnet34", "resnet50"):
+            setattr(pkg, name, getattr(rn, name))
     return importlib.import_module(dotted)

@@ -531,6 +531,65 @@ def test_lwf_loss_task1(ref_resnet):
     assert_loss_close(t_loss, j_loss, "LwF task1 CE+KD")
 
 
+# ---------------------------------------------------------------- DER
+
+
+def test_der_loss_task1(ref_resnet):
+    """reference der.py:108-134: CE over the concatenated-extractor logits
+    + aux CE on the newest extractor (targets y-known+1, old->0); old
+    extractors frozen in eval mode."""
+    ref_der = _refload.ref_module("core.model.der")
+    tm = ref_der.DER(ref_resnet.resnet18(
+        args={"dataset": "cifar100", "init_cls_num": INIT, "inc_cls_num": INC}
+    ), 512, NUM_CLASS, **REF_KW)
+    tm.before_task(0, None, None, None)   # convnet 0 + 4-wide fc
+    tm.before_task(1, None, None, None)   # convnet 1 (copy), 8-wide fc, aux
+    randomize_torch(tm.convnets[0], 901)
+    randomize_torch(tm.convnets[1], 902)
+    g = torch.Generator().manual_seed(903)
+    with torch.no_grad():
+        tm.fc.weight.normal_(0, 0.05, generator=g)
+        tm.fc.bias.normal_(0, 0.05, generator=g)
+        tm.aux_fc.weight.normal_(0, 0.05, generator=g)
+        tm.aux_fc.bias.normal_(0, 0.05, generator=g)
+    tm.freeze_convnets()
+    tm.convnets[-1].train()
+
+    m, state = my_method("DER", backbone="resnet18", feat=512)
+    m._active_count = 2
+    D = 512
+    # stack the two torch extractors into the (task_num, ...) param slabs
+    nets = [S.sync_resnet(*_bt(tm.convnets[i])) for i in range(2)]
+
+    def stack(*trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    pads = [nets[0]] * (TASKS - 2)
+    bb = stack(*(n["params"] for n in (nets + pads)))
+    bs = stack(*(n["batch_stats"] for n in (nets + pads)))
+    hk = np.zeros((TASKS * D, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    hk[: 2 * D, : INIT + INC] = S.lin_k(tm.fc.weight)
+    hb[: INIT + INC] = S.t2n(tm.fc.bias)
+    aux = {"Dense_0": {"kernel": S.lin_k(tm.aux_fc.weight),
+                       "bias": S.t2n(tm.aux_fc.bias)}}
+    params = {"backbone": bb,
+              "head": {"Dense_0": {"kernel": jnp.asarray(hk),
+                                   "bias": jnp.asarray(hb)}},
+              "aux": aux}
+    # DER's model_state is {"batch_stats": stacked} (leading task axis)
+    state1 = install(state, params, {"batch_stats": bs})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+    tb, jb = batch_of(13, 0, INIT + INC)  # DER replays old classes
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
+    assert_loss_close(t_loss, j_loss, "DER task1 CE+auxCE")
+
+
+def _bt(model):
+    return S.blocks_torchvision(model)
+
+
 # ---------------------------------------------------------------- iCaRL
 
 
