@@ -531,6 +531,69 @@ def test_lwf_loss_task1(ref_resnet):
     assert_loss_close(t_loss, j_loss, "LwF task1 CE+KD")
 
 
+# ---------------------------------------------------------------- L2P
+
+
+def test_l2p_loss_task1():
+    """reference l2p.py:88-110 + prompt.py:369-406 + vit.py:100-117: frozen
+    no-prompt query pass, batch-majority prompt selection, prompt-mean
+    readout, current-task-masked CE minus the pull constraint — on the full
+    ViT-B/16."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_l2p = _refload.ref_module("core.model.l2p")
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+
+    # fixed global seed: ViTZoo init draws from torch's global RNG, and
+    # with arbitrary weights two prompt keys can land within float noise of
+    # each other — a CPU-reduction-order tie then flips the top-k selection
+    # between frameworks (observed once). This seed has comfortable margins.
+    torch.manual_seed(7)
+    zoo = ref_vit.ViTZoo(pretrained=False)
+    kw = dict(num_class=NUM_CLASS, feat_dim=768, prompt_length=5,
+              pool_size=10, top_k=5, pull_constraint_coeff=0.1,
+              **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm = ref_l2p.L2P(zoo, DEV, **kw)
+    g = torch.Generator().manual_seed(1001)
+    with torch.no_grad():
+        tm.network.backbone.prompt.prompt.uniform_(0, 1, generator=g)
+        tm.network.backbone.prompt.prompt_key.uniform_(0, 1, generator=g)
+        tm.network.classifier.weight.normal_(0, 0.02, generator=g)
+        tm.network.classifier.bias.zero_()
+    for m_ in tm.network.modules():
+        if isinstance(m_, torch.nn.LayerNorm):
+            m_.eps = 1e-6  # documented eps deviation (PARITY.md)
+    tm.cur_task_id = 1
+    tm._known_classes = INIT
+
+    m, state = my_method(
+        "L2P",
+        {"prompt_length": 5, "pool_size": 10, "top_k": 5,
+         "pull_constraint_coeff": 0.1},
+        backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(
+        jnp.asarray, S.sync_vit(tm.network.backbone.feat, 12))
+    params = {
+        "head": {"Dense_0": {
+            "kernel": S.lin_k(tm.network.classifier.weight),
+            "bias": S.t2n(tm.network.classifier.bias)}},
+        "prompt": {
+            "prompt": S.t2n(tm.network.backbone.prompt.prompt)[0],
+            "key": S.t2n(tm.network.backbone.prompt.prompt_key)},
+    }
+    state1 = install(state, params, {}, {"frozen": frozen})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(1002)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
+    assert_loss_close(t_loss, j_loss, "L2P task1 maskedCE - pull", tol=1e-3)
+
+
 # ---------------------------------------------------------------- DER
 
 
