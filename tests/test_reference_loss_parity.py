@@ -594,6 +594,144 @@ def test_l2p_loss_task1():
     assert_loss_close(t_loss, j_loss, "L2P task1 maskedCE - pull", tol=1e-3)
 
 
+# ------------------------------------------------------- DualPrompt / CODA
+
+
+def _deleaf_prompt_loss(monkeypatch):
+    """Reference transformer.py:2278-2279 does ``prompt_loss += loss`` on
+    ``torch.zeros(requires_grad=True).to(device)`` — on CUDA ``.to`` returns
+    a non-leaf so the in-place add is legal; on CPU it is identity and
+    raises. Clone the zeros so the CPU run matches CUDA autograd shape."""
+    orig_to = torch.Tensor.to
+
+    def to_clone(self, *a, **k):
+        out = orig_to(self, *a, **k)
+        if out is self and self.requires_grad and self.is_leaf:
+            return self.clone()
+        return out
+
+    monkeypatch.setattr(torch.Tensor, "to", to_clone)
+
+
+def _prompt_harness(method_name, my_kwargs):
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    torch.manual_seed(11)  # fixed ViT init: see test_l2p_loss_task1
+    zoo = ref_vit.ViTZoo(pretrained=False)
+    m, state = my_method(method_name, my_kwargs, backbone="ViTZoo", feat=768)
+    return zoo, m, state
+
+
+def _vit_frozen(zoo):
+    return jax.tree_util.tree_map(jnp.asarray, S.sync_vit(zoo.feat, 12))
+
+
+def _eps6(net):
+    for m_ in net.modules():
+        if isinstance(m_, torch.nn.LayerNorm):
+            m_.eps = 1e-6
+
+
+def test_dualprompt_loss_task1(monkeypatch):
+    _deleaf_prompt_loss(monkeypatch)
+    """reference dualprompt.py:93-107 + prompt.py:231-345: g-prompts on
+    layers 0-1, task-indexed e-prompts on 2-4 (prefix K/V halves), summed
+    key-match loss + current-task CE."""
+    ref_dp = _refload.ref_module("core.model.dualprompt")
+    zoo, m, state = _prompt_harness(
+        "DualPrompt",
+        {"e_prompt_length": 20, "g_prompt_length": 6, "pool_size": 10})
+    kw = dict(num_class=NUM_CLASS, e_prompt_length=20, g_prompt_length=6,
+              **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm = ref_dp.DualPrompt(zoo, 768, kw.pop("num_class"), device=DEV, **kw)
+    tm.before_task(0, None, None, None)
+    tm.after_task(0, None, None, None)   # last_out_dim = init_cls
+    tm.before_task(1, None, None, None)  # head widens to 8, task_id = 1
+    g = torch.Generator().manual_seed(1101)
+    pr = tm.network.backbone.prompt
+    with torch.no_grad():
+        for name in ["g_p_0", "g_p_1", "e_p_2", "e_p_3", "e_p_4",
+                     "e_k_2", "e_k_3", "e_k_4"]:
+            getattr(pr, name).uniform_(0, 1, generator=g)
+        tm.network.classifier.weight.normal_(0, 0.02, generator=g)
+        tm.network.classifier.bias.zero_()
+    _eps6(tm.network)
+
+    prompt_params = {n: S.t2n(getattr(pr, n)) for n in
+                     ["g_p_0", "g_p_1", "e_p_2", "e_p_3", "e_p_4",
+                      "e_k_2", "e_k_3", "e_k_4"]}
+    k = np.zeros((768, NUM_CLASS), np.float32)
+    b = np.zeros((NUM_CLASS,), np.float32)
+    k[:, : INIT + INC] = S.lin_k(tm.network.classifier.weight)
+    params = {"head": {"Dense_0": {"kernel": jnp.asarray(k),
+                                   "bias": jnp.asarray(b)}},
+              "prompt": prompt_params}
+    state1 = install(state, params, {}, {"frozen": _vit_frozen(zoo)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(1102)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
+    assert_loss_close(t_loss, j_loss, "DualPrompt task1 match+CE", tol=1e-3)
+
+
+def test_codaprompt_loss_task1(monkeypatch):
+    _deleaf_prompt_loss(monkeypatch)
+    """reference codaprompt.py:86-100 + prompt.py:158-221: attention-composed
+    prompts over the pool prefix, past blocks detached, ortho penalties,
+    current-task CE. The reference never calls process_task_count (its
+    task_count stays 0 — documented quirk, PARITY.md); set it manually to
+    exercise the module's own per-task freeze/slice mechanism at task 1."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    ref_cp = _refload.ref_module("core.model.codaprompt")
+    pool, plen, mu = 6, 8, 0.1
+    zoo, m, state = _prompt_harness(
+        "CodaPrompt", {"pool_size": pool, "prompt_length": plen, "mu": mu})
+    kw = dict(num_class=NUM_CLASS, pool_size=pool, prompt_length=plen, mu=mu,
+              **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm = ref_cp.CodaPrompt(zoo, 768, kw.pop("num_class"), device=DEV, **kw)
+    tm.before_task(0, None, None, None)
+    tm.after_task(0, None, None, None)
+    tm.before_task(1, None, None, None)
+    pr = tm.network.backbone.prompt
+    pr.task_count = 1  # the paper protocol the module implements
+    g = torch.Generator().manual_seed(1201)
+    with torch.no_grad():
+        for e in range(5):
+            for nm in (f"e_p_{e}", f"e_k_{e}", f"e_a_{e}"):
+                getattr(pr, nm).uniform_(-0.5, 0.5, generator=g)
+        tm.network.classifier.weight.normal_(0, 0.02, generator=g)
+        tm.network.classifier.bias.zero_()
+    _eps6(tm.network)
+
+    prompt_params = {}
+    for e in range(5):
+        for nm in (f"e_p_{e}", f"e_k_{e}", f"e_a_{e}"):
+            prompt_params[nm] = S.t2n(getattr(pr, nm))
+    k = np.zeros((768, NUM_CLASS), np.float32)
+    b = np.zeros((NUM_CLASS,), np.float32)
+    k[:, : INIT + INC] = S.lin_k(tm.network.classifier.weight)
+    params = {"head": {"Dense_0": {"kernel": jnp.asarray(k),
+                                   "bias": jnp.asarray(b)}},
+              "prompt": prompt_params}
+    state1 = install(state, params, {}, {"frozen": _vit_frozen(zoo)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(1202)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
+    assert_loss_close(t_loss, j_loss, "CODA task1 ortho+CE", tol=1e-3)
+
+
 # ---------------------------------------------------------------- DER
 
 
