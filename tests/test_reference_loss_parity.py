@@ -594,6 +594,121 @@ def test_l2p_loss_task1():
     assert_loss_close(t_loss, j_loss, "L2P task1 maskedCE - pull", tol=1e-3)
 
 
+# ---------------------------------------------------------------- GPM
+
+
+KSIZES = (4, 3, 2)
+CHANS = (3, 64, 128)
+
+
+def _alex_perms():
+    """Flat-order permutations per projected layer: torch flattens conv
+    weights/acts as (C, kh, kw) and the conv3->fc1 input as (C, h, w); this
+    framework uses (kh, kw, C) / (h, w, C). perm[torch_idx] = my_idx."""
+    perms = []
+    for k, c in zip(KSIZES, CHANS):
+        p = np.empty(c * k * k, np.int64)
+        for ci in range(c):
+            for h in range(k):
+                for w in range(k):
+                    p[ci * k * k + h * k + w] = (h * k + w) * c + ci
+        perms.append(p)
+    p = np.empty(1024, np.int64)  # conv3 out: (256, 2, 2) vs (2, 2, 256)
+    for ci in range(256):
+        for h in range(2):
+            for w in range(2):
+                p[ci * 4 + h * 2 + w] = (h * 2 + w) * 256 + ci
+    perms.append(p)
+    perms.append(np.arange(2048, dtype=np.int64))  # fc2 input: plain features
+    return perms
+
+
+def _sync_alexnet(tm_net):
+    """torch AlexNet_TRGP -> my AlexNetTRGP flax params (fc1 rows permuted
+    to the (h, w, C) flatten order)."""
+    perms = _alex_perms()
+    p = {}
+    for i, conv in enumerate([tm_net.conv1, tm_net.conv2, tm_net.conv3]):
+        p[f"conv{i}_kernel"] = S.conv_k(conv.weight)
+    for i, bn in enumerate([tm_net.bn1, tm_net.bn2, tm_net.bn3,
+                            tm_net.bn4, tm_net.bn5]):
+        p[f"bn{i}"] = {"scale": S.t2n(bn.weight), "bias": S.t2n(bn.bias)}
+    fc1 = S.lin_k(tm_net.fc1.weight)  # (1024, 2048) torch-flat rows
+    fc1_mine = np.empty_like(fc1)
+    fc1_mine[perms[3]] = fc1  # wrong direction guard: perms[t]=mine
+    p["fc3_kernel"] = fc1_mine
+    p["fc4_kernel"] = S.lin_k(tm_net.fc2.weight)
+    return p
+
+
+def test_gpm_loss_and_projected_grads():
+    """reference gpm.py:65-83: task-head CE, then per-layer gradient
+    projection ``g -= (g @ feature_mat)`` — compares both the loss scalar
+    and all five projected weight gradients."""
+    ref_alex = _refload.ref_module("core.model.backbone.alexnet")
+    ref_gpm = _refload.ref_module("core.model.gpm")
+    torch.manual_seed(21)
+    tm = ref_gpm.GPM(ref_alex.AlexNet_TRGP(), DEV,
+                     **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm.cur_task = 1
+    tm._known_classes = INIT
+    tm.network.eval()  # dropout off; BN (track_running_stats=False) still
+    # uses batch statistics, matching our _BatchStatsNorm
+
+    m, state = my_method("GPM", {}, backbone="AlexNet_TRGP", feat=2048)
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    params["backbone"] = jax.tree_util.tree_map(
+        jnp.asarray, _sync_alexnet(tm.network.backbone))
+    hk = np.zeros((2048, NUM_CLASS), np.float32)
+    for t_, fc in enumerate(tm.network.classifiers):
+        hk[:, t_ * INC:(t_ + 1) * INC] = S.lin_k(fc.weight)
+    params["head"] = {"Dense_0": {"kernel": jnp.asarray(hk)}}
+
+    # random projection subspaces, mirrored across the two flat orders
+    perms = _alex_perms()
+    rng = np.random.RandomState(31)
+    in_flats = [3 * 16, 64 * 9, 128 * 4, 1024, 2048]
+    proj_mine, proj_torch = [], []
+    for d, perm in zip(in_flats, perms):
+        u, _ = np.linalg.qr(rng.randn(d, 8))
+        P = (u @ u.T).astype(np.float32)
+        proj_mine.append(jnp.asarray(P))
+        proj_torch.append(torch.from_numpy(
+            P[perm][:, perm].copy()))
+    tm.feature_mat = proj_torch
+    mvars = dict(state.mvars)
+    mvars["proj"] = proj_mine
+    mvars["bn_trainable"] = jnp.asarray(0.0)
+    state1 = state.replace(params=params, mvars=mvars)
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(14, INIT, INIT + INC)
+    _, _, t_loss = tm.observe(tb)  # backward + in-place projection
+    # rng=None keeps our dropout off, matching the reference's eval() mode
+    assert_loss_close(
+        t_loss, m.loss(state1.params, state1, jb, None)[0], "GPM task1 CE")
+
+    def lfn(p):
+        return m.loss(p, state1, jb, None)[0]
+
+    grads = m.transform_grads(jax.grad(lfn)(state1.params), state1)
+    t_layers = [tm.network.backbone.conv1, tm.network.backbone.conv2,
+                tm.network.backbone.conv3, tm.network.backbone.fc1,
+                tm.network.backbone.fc2]
+    names = ["conv0_kernel", "conv1_kernel", "conv2_kernel",
+             "fc3_kernel", "fc4_kernel"]
+    for li, (mod, nm, perm) in enumerate(zip(t_layers, names, perms)):
+        tg = mod.weight.grad.detach().numpy()
+        out_dim = tg.shape[0]
+        tg_flat = tg.reshape(out_dim, -1).T  # (in_flat_torch, out)
+        mine = np.asarray(grads["backbone"][nm]).reshape(-1, out_dim)
+        tg_mine_order = np.empty_like(tg_flat)
+        tg_mine_order[perm] = tg_flat
+        np.testing.assert_allclose(
+            mine, tg_mine_order, rtol=2e-3, atol=2e-5,
+            err_msg=f"projected grad mismatch at layer {li} ({nm})")
+
+
 # ------------------------------------------------------- DualPrompt / CODA
 
 
