@@ -594,6 +594,93 @@ def test_l2p_loss_task1():
     assert_loss_close(t_loss, j_loss, "L2P task1 maskedCE - pull", tol=1e-3)
 
 
+# ---------------------------------------------------------------- RanPAC
+
+
+def test_ranpac_ridge_sweep_and_solve():
+    """reference ranpac.py:231-268 (update_rp_classifier): ReLU random
+    projection, Q/G accumulation, 80/20 ridge sweep, closed-form solve.
+    Executes the reference function verbatim on stubbed features and
+    compares the chosen lambda and the solved classifier weights."""
+    ref_rp = _refload.ref_module("core.model.ranpac")
+    D, M, n = 64, 50, 40
+    rng = np.random.RandomState(41)
+    feats = rng.randn(n, D).astype(np.float32)
+    labels = rng.randint(0, INIT + INC, size=(n,)).astype(np.int64)
+    W = rng.randn(D, M).astype(np.float32)
+
+    # ---- reference: run update_rp_classifier unbound on a stub object
+    class _Clf:
+        use_RP = False
+        W_rand = None
+        weight = torch.zeros(INIT + INC, M)
+
+    class _Net:
+        classifier = _Clf()
+
+        def eval(self):
+            pass
+
+        def get_feature(self, x):
+            return x
+
+    class _DS:
+        trfms = None
+
+    class _Loader:
+        dataset = _DS()
+
+        def __iter__(self):
+            yield {"image": torch.from_numpy(feats),
+                   "label": torch.from_numpy(labels)}
+
+    stub = type("Stub", (), {})()
+    stub._network = _Net()
+    stub.W_rand = torch.from_numpy(W)
+    stub.device = DEV
+    stub.M = M
+    stub._classes_seen_so_far = INIT + INC
+    stub.Q = torch.zeros(M, INIT + INC)
+    stub.G = torch.zeros(M, M)
+    ref_rp.RanPAC.update_rp_classifier(stub, _Loader(), None)
+    ref_W = stub._network.classifier.weight.data.numpy()  # (C_seen, M)
+
+    # ---- mine: reorder samples so my every-5th-position holdout equals the
+    # reference's last-20% split (Q/G sums are order-invariant per group)
+    n_fit = int(n * 0.8)
+    fit_idx, ho_idx = list(range(n_fit)), list(range(n_fit, n))
+    order = []
+    fi, hi = iter(fit_idx), iter(ho_idx)
+    for p in range(n):
+        order.append(next(hi) if p % 5 == 0 else next(fi))
+    order = np.asarray(order)
+
+    m, state = my_method("RanPAC", {"M": M})
+    mvars = dict(state.mvars)
+    mvars["W_rand"] = jnp.asarray(W)
+    state = state.replace(mvars=mvars)
+    state = m.start_task(state, 1, INIT, INIT + INC)
+    # stub the backbone: images carry the features in their first D flats
+    imgs = np.zeros((n, 32, 32, 3), np.float32)
+    imgs.reshape(n, -1)[:, :D] = feats[order]
+    m.augment = lambda rng_, images, train=True: images
+    m.apply_backbone = lambda p, ms, x, train: (
+        {"features": x.reshape(x.shape[0], -1)[:, :D]}, ms)
+
+    class _TaskData:
+        def __len__(self):
+            return n
+
+    _TaskData.images = imgs
+    _TaskData.labels = labels[order]
+
+    state = m.after_task(state, 1, _TaskData())
+    my_W = np.asarray(state.mvars["Wo"]).T  # (num_class, M)
+    np.testing.assert_allclose(
+        my_W[: INIT + INC], ref_W, rtol=2e-3, atol=2e-4,
+        err_msg="RanPAC solved classifier weights diverge")
+
+
 # ---------------------------------------------------------------- GPM
 
 
