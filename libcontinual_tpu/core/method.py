@@ -88,6 +88,13 @@ class Method:
         self.init_cls_num = int(config["init_cls_num"])
         self.inc_cls_num = int(config["inc_cls_num"])
         self.kwargs = ck
+        # Reference-parity default: the reference trainer's per-epoch
+        # model.train() (reference trainer.py:575) leaves distillation
+        # teachers in train mode, so their BN targets use the CURRENT
+        # batch's statistics (PARITY.md round-3 systemic finding). Set
+        # ``teacher_batch_stats: false`` to run teachers on running stats
+        # instead — the method authors' intended .eval() semantics.
+        self.teacher_train = bool(ck.get("teacher_batch_stats", True))
         self.dtype = (
             jnp.bfloat16 if str(config.get("dtype", "bfloat16")) == "bfloat16" else jnp.float32
         )

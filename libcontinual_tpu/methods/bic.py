@@ -133,8 +133,12 @@ class BiC(Method):
         w = batch.get("weight")
         ce = masked_cross_entropy(p, batch["label"], w, state.seen_mask)
 
+        # the reference never calls previous_model.eval() (bic.py:110-117
+        # deepcopies + freezes grads only), so the frozen teacher runs in
+        # TRAIN mode — its distillation targets use the current batch's BN
+        # statistics, not running averages; mirrored here
         t_logits, _, _ = self.forward(
-            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=self.teacher_train
         )
         tp = self._bias_forward(t_logits, state.mvars["alphas"], state.mvars["betas"])
         safe_prev = jnp.where(

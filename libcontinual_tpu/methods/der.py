@@ -125,15 +125,18 @@ class DER(Method):
         bb = jax.tree_util.tree_map(lambda p: p[:n], params["backbone"])
         bst = jax.tree_util.tree_map(lambda s: s[:n], state.mvars["model_state"])
         if n > 1:
-            # frozen old extractors run in EVAL mode (running BN stats, as the
-            # reference keeps frozen nets in .eval(); der.py:90-134) — only
-            # the newest extractor trains with batch statistics
+            # the reference trainer's per-epoch model.train() (trainer.py:575)
+            # undoes freeze_convnets' .eval(), so the frozen old extractors
+            # compute with the current batch's BN statistics during training
+            # (their running stats stay frozen here — the reference lets them
+            # drift as a side effect, documented in PARITY.md); only the
+            # newest extractor's running stats advance (post_update)
             old_bb = jax.tree_util.tree_map(lambda p: p[: n - 1], bb)
             old_bst = jax.tree_util.tree_map(lambda s: s[: n - 1], bst)
             new_bb = jax.tree_util.tree_map(lambda p: p[n - 1 : n], bb)
             new_bst = jax.tree_util.tree_map(lambda s: s[n - 1 : n], bst)
             old_feats, _ = self._stack_apply(
-                old_bb, old_bst, batch["x"], train=False
+                old_bb, old_bst, batch["x"], train=self.teacher_train
             )
             new_feats, new_tail_state = self._stack_apply(
                 new_bb, new_bst, batch["x"], train=True

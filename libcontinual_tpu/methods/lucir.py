@@ -154,8 +154,12 @@ class LUCIR(Method):
         ce = masked_cross_entropy(logits, batch["label"], w, state.seen_mask)
 
         # less-forget: 1 - cos(cur_feat, ref_feat) (lucir.py:183-186)
+        # the reference trainer calls model.train() at the start of every
+        # training epoch (trainer.py:575), recursively flipping the frozen
+        # teacher back to train mode — its targets use the current batch's
+        # BN statistics at training time; mirrored here (state discarded)
         ref_out, _ = self.apply_backbone(
-            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=self.teacher_train
         )
         lf = 1.0 - jnp.sum(
             normalized(feats) * normalized(jax.lax.stop_gradient(ref_out["features"])),

@@ -55,8 +55,12 @@ class LWF(Method):
         mask = jnp.where(state.task > 0, cur_mask, state.seen_mask)
         ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), mask)
 
+        # the reference trainer calls model.train() at the start of every
+        # training epoch (trainer.py:575), recursively flipping the frozen
+        # teacher back to train mode — its targets use the current batch's
+        # BN statistics at training time; mirrored here (state discarded)
         t_logits, _, _ = self.forward(
-            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=self.teacher_train
         )
         # keep the masked softmax finite on task 0 (prev_mask is empty there;
         # the kd term is zeroed by the `where` below anyway)

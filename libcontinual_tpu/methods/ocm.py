@@ -248,7 +248,7 @@ class OCM(Method):
         extra = None
         if teacher is not None:
             t_f, t_proj, _ = self._embed(
-                teacher, state.mvars["teacher_state"], xr, train=False
+                teacher, state.mvars["teacher_state"], xr, train=self.teacher_train
             )
             pre = self._norm(jax.lax.stop_gradient(t_proj))
             sim_pre = simclr[: xr.shape[0]] @ pre.T
@@ -310,9 +310,11 @@ class OCM(Method):
 
         # distillation NT-Xent vs the previous model on the raw replay
         # rotations (ocm.py:956, 971-973)
+        # reference previous_model runs in train mode during training (the
+        # trainer's per-epoch model.train(), trainer.py:575) — batch stats
         _, t_proj, _ = self._embed(
             state.mvars["teacher"], state.mvars["teacher_state"], xr_r,
-            train=False,
+            train=self.teacher_train,
         )
         pre = self._norm(jax.lax.stop_gradient(t_proj))
         sim_pre = simclr_r[: xr_r.shape[0]] @ pre.T
@@ -326,7 +328,7 @@ class OCM(Method):
         ce_mem = masked_cross_entropy(m_logits, my, mw)  # full head (ocm.py:977)
         t_logits, _, _ = self.forward(
             state.mvars["teacher"], state.mvars["teacher_state"], mem_aug,
-            train=False,
+            train=self.teacher_train,
         )
         # F.mse_loss over the prev_cls_num columns ONLY (ocm.py:978-980):
         # averaging over all num_class columns would shrink the distillation

@@ -120,8 +120,11 @@ class PRAKA(Method):
         loss = joint_ce + single_ce + distill
 
         # ---- replay branch (old_class > 0; weighted off at task 0) ----
+        # reference old_model.eval() is undone each epoch by the trainer's
+        # model.train() (trainer.py:575) — the teacher computes with the
+        # current batch's BN statistics during training
         t_out, _ = self.apply_backbone(
-            state.mvars["teacher"], state.mvars["teacher_state"], x, train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], x, train=self.teacher_train
         )
         # torch.dist(a, b, 2): the L2 NORM of the difference (praka.py:223)
         kd = jnp.sqrt(

@@ -42,8 +42,12 @@ class WA(Method):
         ce = masked_cross_entropy(
             logits, batch["label"], batch.get("weight"), state.seen_mask
         )
+        # the reference trainer calls model.train() at the start of every
+        # training epoch (trainer.py:575), recursively flipping the frozen
+        # teacher back to train mode — its targets use the current batch's
+        # BN statistics at training time; mirrored here (state discarded)
         t_logits, _, _ = self.forward(
-            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=False
+            state.mvars["teacher"], state.mvars["teacher_state"], batch["x"], train=self.teacher_train
         )
         safe_prev = jnp.where(
             state.task > 0, state.prev_mask, jnp.ones_like(state.prev_mask)

@@ -54,8 +54,15 @@ def test_ewc(tiny_config):
 
 
 def test_lwf(tiny_config):
-    # lamda=3 is the reference's hardcoded distillation weight (lwf.py:65)
-    cfg = make_cfg(tiny_config, "LWF", {"lamda": 3.0}, buffer_size=0)
+    # lamda=3 is the reference's hardcoded distillation weight (lwf.py:65).
+    # teacher_batch_stats=False runs the teacher on running BN stats (the
+    # method's intended .eval() semantics) so the retention contract below
+    # is testable: the reference-parity default (train-mode teacher, see
+    # PARITY.md round-3) makes teacher targets batch-dependent, which on
+    # this 4-new-class tiny protocol collapses retention to ~0 — in the
+    # executing reference too.
+    cfg = make_cfg(tiny_config, "LWF",
+                   {"lamda": 3.0, "teacher_batch_stats": False}, buffer_size=0)
     cfg["epoch"] = 5
     tr, res = run(cfg)
     # distillation's contract is retention: task-0 accuracy survives task 1

@@ -323,7 +323,7 @@ def test_lucir_loss_task1(ref_resnet):
         tm.network.classifier.weight.normal_(0, 0.1, generator=g)
         tm.network.classifier.sigma.fill_(3.7)
     tm.ref_model = copy.deepcopy(tm.network)
-    tm.ref_model.eval()
+    tm.ref_model.train()  # trainer model.train() undoes before_task's eval
     # widen: SplitCosineLinear(fc1=old rows, fc2=new) as before_task does
     # (lucir.py:86-93), minus the dataset-dependent imprinting
     new_fc = ref_resnet.SplitCosineLinear(FEAT, INIT, INC)
@@ -458,7 +458,7 @@ def test_ocm_loss_incremental(ref_resnet, monkeypatch):
     with torch.no_grad():
         for p in tm.previous_model.parameters():
             p.add_(torch.randn(p.shape, generator=g) * 0.02)
-    tm.previous_model.eval()
+    tm.previous_model.train()  # trainer model.train() leaves it in train
 
     m._cur_task = 1
     m._buffer_batch = lambda: 7
@@ -513,6 +513,8 @@ def test_lwf_loss_task1(ref_resnet):
         tm.classifier.weight.normal_(0, 0.1, generator=g)
         tm.classifier.bias.normal_(0, 0.1, generator=g)
     tm.before_task(1, None, None, None)  # snapshots old_fc + old_backbone
+    tm.old_backbone.train()  # the trainer's per-epoch model.train() undoes
+    # the freeze()'s eval — teacher targets use batch statistics
     # diverge student from teacher after the snapshot
     with torch.no_grad():
         for p in tm.backbone.parameters():
@@ -592,6 +594,57 @@ def test_l2p_loss_task1():
     _, _, t_loss = tm.observe(tb)
     j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
     assert_loss_close(t_loss, j_loss, "L2P task1 maskedCE - pull", tol=1e-3)
+
+
+# ---------------------------------------------------------------- BiC
+
+
+def test_bic_stage1_distill_loss(ref_resnet):
+    """reference bic.py:193-217 (stage1_distill): bias-corrected logits on
+    both student and frozen teacher, T=2 soft target over the old classes,
+    alpha*KD*T^2 + (1-alpha)*CE.
+
+    NOTE: the reference's ResNet_BIC sets feat_dim=256 while its 32x32
+    forward emits 64 features, so the shipped Model crashes on its own
+    cifar configs (verified: mat1 1x64 @ mat2 256x12); the test repairs the
+    head to the intended Linear(64, C) before comparing."""
+    ref_bic = _refload.ref_module("core.model.bic")
+    tm = ref_bic.bic(ref_resnet.cifar_resnet32_V2(), NUM_CLASS,
+                     **REF_KW)
+    tm.model.classifier = torch.nn.Linear(64, NUM_CLASS)  # repair (see note)
+    randomize_torch(tm.model, 1301)
+    import copy as _copy
+    tm.previous_model = _copy.deepcopy(tm.model)
+    g = torch.Generator().manual_seed(1302)
+    with torch.no_grad():
+        for p in tm.model.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.02)
+        tm.bias_layers[0].alpha.fill_(1.3)
+        tm.bias_layers[0].beta.fill_(0.2)
+    tm.cur_task = 1
+    tm.seen_cls = INIT + INC
+
+    m, state = my_method("bic", {}, backbone="cifar_resnet32_V2", feat=64)
+    blocks_p = S.sync_preact_resnet(tm.model.backbone)
+    params = {"backbone": blocks_p["params"],
+              "head": head_pytree(tm.model.classifier)}
+    t_blocks = S.sync_preact_resnet(tm.previous_model.backbone)
+    teacher = {"backbone": t_blocks["params"],
+               "head": head_pytree(tm.previous_model.classifier)}
+    alphas = np.ones((TASKS,), np.float32)
+    betas = np.zeros((TASKS,), np.float32)
+    alphas[0], betas[0] = 1.3, 0.2
+    state1 = install(
+        state, params, {"batch_stats": blocks_p["batch_stats"]},
+        {"teacher": teacher,
+         "teacher_state": {"batch_stats": t_blocks["batch_stats"]},
+         "alphas": jnp.asarray(alphas), "betas": jnp.asarray(betas)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+    tb, jb = batch_of(15, 0, INIT + INC)  # BiC replays old classes
+    tm.model.train()
+    _, _, t_loss = tm.stage1_distill(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "BiC stage1 distill")
 
 
 # ---------------------------------------------------------------- RanPAC
@@ -956,7 +1009,7 @@ def test_der_loss_task1(ref_resnet):
         tm.aux_fc.weight.normal_(0, 0.05, generator=g)
         tm.aux_fc.bias.normal_(0, 0.05, generator=g)
     tm.freeze_convnets()
-    tm.convnets[-1].train()
+    tm.convnets.train()  # trainer model.train() undoes freeze_convnets
 
     m, state = my_method("DER", backbone="resnet18", feat=512)
     m._active_count = 2
@@ -1009,7 +1062,7 @@ def test_icarl_loss_task1(ref_resnet):
     with torch.no_grad():
         for p in tm.network.parameters():
             p.add_(torch.randn(p.shape, generator=g) * 0.02)
-    tm.old_network.eval()
+    tm.old_network.train()  # trainer model.train() undoes the eval()
     tm.cur_task_id = 1
     tm.prev_cls_num = INIT
     tm.accu_cls_num = INIT + INC
@@ -1041,6 +1094,7 @@ def test_wa_loss_task1(ref_resnet):
     tm.network.update_classifier(INIT)
     randomize_torch(tm.network, 301)
     tm.old_network = copy.deepcopy(tm.network).freeze()
+    tm.old_network.train()  # trainer model.train() undoes freeze()'s eval
     tm.task_idx = 1
     tm.known_classes, tm.total_classes = INIT, INIT + INC
     tm.network.update_classifier(INIT + INC)
