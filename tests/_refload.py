@@ -122,8 +122,28 @@ def _stub_timm(torch, nn):
 
     helpers.named_apply = named_apply
     helpers.adapt_input_conv = lambda in_chans, w: w
-    helpers.build_model_with_cfg = None  # only used by pretrained factories
-    helpers.resolve_pretrained_cfg = lambda *a, **kw: {}
+
+    class _PretrainedCfg(dict):
+        """Subscriptable but FALSY: the reference factories index
+        ``cfg['num_classes']`` / ``cfg['url']`` yet also guard
+        ``if pretrained_cfg: del kwargs['pretrained_cfg']`` on a key the
+        kwargs never contain (vit_inflora.py:710-711) — falsy skips it."""
+
+        def __bool__(self):
+            return False
+
+    def build_model_with_cfg(model_cls, variant, pretrained, pretrained_cfg=None,
+                             pretrained_filter_fn=None,
+                             pretrained_custom_load=False,
+                             representation_size=None, **kwargs):
+        # weights are synced explicitly by the tests; never download
+        if representation_size is not None:
+            kwargs["representation_size"] = representation_size
+        return model_cls(**kwargs)
+
+    helpers.build_model_with_cfg = build_model_with_cfg
+    helpers.resolve_pretrained_cfg = lambda *a, **kw: _PretrainedCfg(
+        num_classes=21843, url="", input_size=(3, 224, 224))
     helpers.checkpoint_seq = lambda functions, x, *a, **kw: functions(x)
     data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
     data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)

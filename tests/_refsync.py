@@ -96,6 +96,38 @@ def sync_vit(tm, depth):
     return params
 
 
+def sync_inflora_vit(tm, depth=12):
+    """Flax params for models.vit.VisionTransformer from reference
+    vit_inflora.ViT_lora_co (timm naming: blocks.N.norm1/attn/mlp,
+    SiNet.py:7-33) — LoRA factors excluded (installed as stacked arrays)."""
+    params = {
+        "patch_embed": {"kernel": conv_k(tm.patch_embed.proj.weight),
+                        "bias": t2n(tm.patch_embed.proj.bias)},
+        "cls_token": t2n(tm.cls_token),
+        "pos_embed": t2n(tm.pos_embed),
+        "norm": ln_vars(tm.norm),
+    }
+    for i in range(depth):
+        b = tm.blocks[i]
+        params[f"block_{i}"] = {
+            "ln_1": ln_vars(b.norm1),
+            "ln_2": ln_vars(b.norm2),
+            "attn": {
+                "qkv": {"kernel": lin_k(b.attn.qkv.weight),
+                        "bias": t2n(b.attn.qkv.bias)},
+                "proj": {"kernel": lin_k(b.attn.proj.weight),
+                         "bias": t2n(b.attn.proj.bias)},
+            },
+            "mlp": {
+                "fc1": {"kernel": lin_k(b.mlp.fc1.weight),
+                        "bias": t2n(b.mlp.fc1.bias)},
+                "fc2": {"kernel": lin_k(b.mlp.fc2.weight),
+                        "bias": t2n(b.mlp.fc2.bias)},
+            },
+        }
+    return params
+
+
 def sync_preact_resnet(model):
     """Flax vars for models.resnet.PreActCifarResNet from reference
     ResNet_BIC (resnet.py:622-688)."""

@@ -647,6 +647,82 @@ def test_bic_stage1_distill_loss(ref_resnet):
     assert_loss_close(t_loss, j_loss, "BiC stage1 distill")
 
 
+# ---------------------------------------------------------------- InfLoRA
+
+
+def test_inflora_loss_task1():
+    """reference InfLoRA.py:68-88 observe on the full SiNet_vit (ViT-B/16
+    with per-task k/v LoRA, vit_inflora.py:262-286): logits from the
+    CURRENT task's classifier_pool head over the task<=1 summed LoRA
+    deltas, CE on offset labels — vs my stacked-LoRA merged-delta forward
+    with current-task-masked CE (methods/lora_base.py loss)."""
+    ref_sinet = _refload.ref_module("core.model.backbone.SiNet")
+    ref_if = _refload.ref_module("core.model.InfLoRA")
+
+    RANK = 4
+    torch.manual_seed(11)
+    net = ref_sinet.SiNet_vit(total_sessions=TASKS, rank=RANK,
+                              init_cls=INIT, embd_dim=768)
+    tm = ref_if.InfLoRA(net, 768, NUM_CLASS, lame=1.0, lamb=0.95,
+                        total_sessions=TASKS, **REF_KW)
+    g = torch.Generator().manual_seed(1501)
+    with torch.no_grad():
+        for blk in net.image_encoder.blocks:
+            for t in range(2):  # tasks 0 and 1 carry non-zero adapters
+                for lin in (blk.attn.lora_A_k[t], blk.attn.lora_B_k[t],
+                            blk.attn.lora_A_v[t], blk.attn.lora_B_v[t]):
+                    lin.weight.uniform_(-0.05, 0.05, generator=g)
+        for pool in net.classifier_pool:
+            pool.weight.normal_(0, 0.1, generator=g)
+            pool.bias.normal_(0, 0.1, generator=g)
+    net.update_fc(INIT)
+    net.update_fc(INIT + INC)  # numtask = 2 -> current head = pool[1]
+    tm._cur_task = 1
+    tm._known_classes = INIT
+    tm._total_classes = INIT + INC
+
+    m, state = my_method(
+        "InfLoRA",
+        {"rank": RANK, "lame": 1.0, "lamb": 0.95, "total_sessions": TASKS},
+        backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(
+        jnp.asarray, S.sync_inflora_vit(net.image_encoder, 12))
+    L, T, d = 12, TASKS, 768
+    lora = {k: np.zeros(v.shape, np.float32)
+            for k, v in state.params["lora"].items()}
+    for li, blk in enumerate(net.image_encoder.blocks):
+        for t in range(2):
+            lora["A_k"][li, t] = S.t2n(blk.attn.lora_A_k[t].weight)
+            lora["B_k"][li, t] = S.t2n(blk.attn.lora_B_k[t].weight)
+            lora["A_v"][li, t] = S.t2n(blk.attn.lora_A_v[t].weight)
+            lora["B_v"][li, t] = S.t2n(blk.attn.lora_B_v[t].weight)
+    kern = np.zeros((768, NUM_CLASS), np.float32)
+    bias = np.zeros((NUM_CLASS,), np.float32)
+    kern[:, INIT:INIT + INC] = S.lin_k(net.classifier_pool[1].weight)
+    bias[INIT:INIT + INC] = S.t2n(net.classifier_pool[1].bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(kern),
+                             "bias": jnp.asarray(bias)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+    }
+    active = (np.arange(T) < 2).astype(np.float32)
+    onehot = (np.arange(T) == 1).astype(np.float32)
+    state1 = install(state, params, {},
+                     {"frozen": frozen, "active": jnp.asarray(active),
+                      "train_onehot": jnp.asarray(onehot)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(1502)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "InfLoRA task1 current-head CE", tol=1e-3)
+
+
 # ---------------------------------------------------------------- RanPAC
 
 
