@@ -139,9 +139,79 @@ def make_synthetic(
     }
 
 
+def _load_tiny_imagenet(data_root: str, mode: str, storage_size: Optional[int]) -> Dict:
+    """Canonical tiny-imagenet-200 layout, as continuum's ``TinyImageNet200``
+    reads it for the reference's array-injection path (reference
+    core/data/dataset.py:36-77):
+
+      * train: ``train/<wnid>/images/*.JPEG`` (labels by sorted wnid)
+      * test:  ``val/images/*.JPEG`` + ``val/val_annotations.txt``
+        (filename -> wnid; continuum uses the val split as the eval split
+        since the test split is unlabeled)
+
+    Falls back to the generic folder layout when the canonical one is absent
+    (restructured checkouts keep working). The per-task array slicing the
+    reference does by injecting ``scenario._x/_y`` into a ``SingleDataset``
+    shell (dataset.py:65-68) is native here: tasks ARE array slices
+    (data/continual.py TaskData), split by the seeded python-random class
+    order (continual.py build_stream).
+    """
+    from PIL import Image
+
+    train_dir = os.path.join(data_root, "train")
+    val_ann = os.path.join(data_root, "val", "val_annotations.txt")
+    if not (os.path.isdir(train_dir) and os.path.isfile(val_ann)):
+        return _load_folder(data_root, mode, storage_size)
+
+    wnids = sorted(
+        d for d in os.listdir(train_dir) if os.path.isdir(os.path.join(train_dir, d))
+    )
+    wnid_to_label = {w: i for i, w in enumerate(wnids)}
+
+    pairs: List = []  # (path, label)
+    if mode == "train":
+        for w in wnids:
+            img_dir = os.path.join(train_dir, w, "images")
+            if not os.path.isdir(img_dir):  # tolerate flattened class dirs
+                img_dir = os.path.join(train_dir, w)
+            for fname in sorted(os.listdir(img_dir)):
+                if os.path.splitext(fname)[1].lower() in IMG_EXTS:
+                    pairs.append((os.path.join(img_dir, fname), wnid_to_label[w]))
+    else:
+        img_dir = os.path.join(data_root, "val", "images")
+        with open(val_ann) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and parts[1] in wnid_to_label:
+                    pairs.append(
+                        (os.path.join(img_dir, parts[0]), wnid_to_label[parts[1]])
+                    )
+        pairs.sort()
+    if not pairs:
+        raise FileNotFoundError(f"no tiny-imagenet images under {data_root} ({mode})")
+
+    images, labels = [], []
+    for path, label in pairs:
+        img = Image.open(path).convert("RGB")
+        if storage_size:
+            img = img.resize((storage_size, storage_size), Image.BILINEAR)
+        images.append(np.asarray(img, dtype=np.uint8))
+        labels.append(label)
+    return {
+        "images": np.stack(images),
+        "labels": np.asarray(labels, np.int32),
+        "class_names": _humanize_class_names(wnids),
+    }
+
+
 @DATASETS.register("folder")
 def folder_source(config: Dict, mode: str) -> Dict:
     return _load_folder(config["data_root"], mode, config.get("storage_size"))
+
+
+@DATASETS.register("tiny-imagenet")
+def tiny_imagenet_source(config: Dict, mode: str) -> Dict:
+    return _load_tiny_imagenet(config["data_root"], mode, config.get("storage_size"))
 
 
 @DATASETS.register("binary_cifar100")
@@ -190,4 +260,6 @@ def load_source(config: Dict, mode: str) -> Dict:
         )
     if name == "binary_cifar100":
         return DATASETS.get("binary_cifar100")(config, mode)
+    if name == "tiny-imagenet":
+        return DATASETS.get("tiny-imagenet")(config, mode)
     return DATASETS.get("folder")(config, mode)

@@ -49,6 +49,66 @@ def test_tinyimagenet_wnid_names(tmp_path):
     assert src["class_names"] == ["Egyptian Mau", "volleyball"]
 
 
+def test_tinyimagenet_canonical_layout(tmp_path):
+    """Canonical tiny-imagenet-200 tree (nested images/ dirs + val
+    annotations), the layout continuum's TinyImageNet200 feeds the
+    reference's array-injection path (reference core/data/dataset.py:36-77):
+    train labels follow sorted-wnid order; the eval split is val/ resolved
+    through val_annotations.txt; the task split follows the seeded
+    python-random class order with contiguous remapped labels."""
+    import random
+
+    from PIL import Image
+
+    root = tmp_path / "tiny-imagenet-200"
+    wnids = ["n04540053", "n02124075", "n01443537"]  # deliberately unsorted
+    rng = np.random.RandomState(3)
+    for w in wnids:
+        d = root / "train" / w / "images"
+        os.makedirs(d)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+                d / f"{w}_{i}.JPEG"
+            )
+    os.makedirs(root / "val" / "images")
+    lines = []
+    for i, w in enumerate(wnids * 2):
+        fname = f"val_{i}.JPEG"
+        Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            root / "val" / "images" / fname
+        )
+        lines.append(f"{fname}\t{w}\t0\t0\t8\t8")
+    (root / "val" / "val_annotations.txt").write_text("\n".join(lines))
+
+    cfg = {
+        "dataset": "tiny-imagenet", "data_root": str(root),
+        "task_num": 3, "init_cls_num": 1, "inc_cls_num": 1, "seed": 7,
+    }
+    src = load_source(cfg, "train")
+    # labels by sorted wnid: n01443537=0, n02124075=1, n04540053=2
+    assert src["images"].shape == (12, 8, 8, 3)
+    assert np.array_equal(np.sort(np.unique(src["labels"])), [0, 1, 2])
+    assert src["class_names"] == ["goldfish", "Egyptian Mau", "volleyball"]
+
+    src_test = load_source(cfg, "test")
+    assert src_test["images"].shape == (6, 8, 8, 3)
+    assert np.bincount(src_test["labels"]).tolist() == [2, 2, 2]
+
+    # end-to-end split: reference dataset.py:38-43 shuffles range(C) with
+    # python's random module seeded by config seed
+    order = list(range(3))
+    random.Random(7).shuffle(order)
+    stream, m = build_stream(cfg, "train")
+    for t in range(3):
+        td = stream.task(t)
+        assert len(td) == 4 and (td.labels == t).all()
+    # the class placed at new label t is order[t]
+    for t, orig in enumerate(order):
+        assert int(m[orig]) == t
+    test_stream, _ = build_stream(cfg, "test", m)
+    assert [len(td) for td in test_stream.tasks_up_to(2)] == [2, 2, 2]
+
+
 def test_folder_dataset(tmp_path):
     from PIL import Image
 
