@@ -40,14 +40,26 @@ def masked_cross_entropy(
     labels: jax.Array,
     weight: Optional[jax.Array] = None,
     class_mask: Optional[jax.Array] = None,
+    label_smoothing: float = 0.0,
 ) -> jax.Array:
     """Weighted-mean CE; ``class_mask`` (num_class,) excludes classes by
     setting their logits to -inf (the reference's masking idiom,
-    e.g. l2p.py:92-99)."""
+    e.g. l2p.py:92-99). ``label_smoothing`` matches torch's
+    ``F.cross_entropy(..., label_smoothing=s)`` — ``(1-s)·NLL + (s/K)·Σ_c
+    -log p_c`` with K the number of (unmasked) classes."""
     if class_mask is not None:
         logits = jnp.where(class_mask[None, :] > 0, logits, -1e30)
     ll = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(ll, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing > 0.0:
+        if class_mask is not None:
+            valid = (class_mask > 0).astype(ll.dtype)[None, :]
+            smooth = -jnp.sum(ll * valid, axis=-1) / jnp.maximum(
+                jnp.sum(valid, axis=-1), 1.0
+            )
+        else:
+            smooth = -jnp.mean(ll, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     if weight is None:
         return jnp.mean(nll)
     return jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)

@@ -94,7 +94,10 @@ class MoEAdapter4CLViT(Method):
         bk.setdefault("moe_experts", bk.get("experts_num", 2))
         super().__init__(config, mesh_ctx)
         self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
-        self.aux_weight = float(self.kwargs.get("load_balance_weight", 1e-2))
+        # the reference never applies its cv^2 load-balancing loss (the MoE
+        # block's `load` computation is commented out, transformer.py:1634-1637)
+        # so the aux term defaults OFF; opt in via load_balance_weight
+        self.aux_weight = float(self.kwargs.get("load_balance_weight", 0.0))
 
     def init_state(self, rng, sample_input_hw):
         state = super().init_state(rng, sample_input_hw)
@@ -124,7 +127,8 @@ class MoEAdapter4CLViT(Method):
         )
         logits = self._head.apply({"params": params["head"]}, out["features"])
         cur_mask = state.seen_mask - state.prev_mask
-        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"),
+                                  cur_mask, self.label_smoothing)
         loss = ce + self.aux_weight * out.get("moe_aux", 0.0)
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
         return loss, {"logits": masked, "model_state": new_model_state}
@@ -142,7 +146,8 @@ class MoEAdapter4CL(CLIPMethod):
         bk = config["backbone"].setdefault("kwargs", {})
         bk.setdefault("moe_experts", bk.get("experts_num", 4))
         super().__init__(config, mesh_ctx)
-        self.aux_weight = float(self.kwargs.get("load_balance_weight", 1e-2))
+        self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
+        self.aux_weight = float(self.kwargs.get("load_balance_weight", 0.0))
 
     def init_state(self, rng, sample_input_hw):
         k1, k2 = jax.random.split(rng)
@@ -210,7 +215,8 @@ class MoEAdapter4CL(CLIPMethod):
         )
         logits = out["logits_per_image"]  # (B, num_class) vs all class texts
         cur_mask = state.seen_mask - state.prev_mask
-        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"),
+                                  cur_mask, self.label_smoothing)
         loss = ce + self.aux_weight * out["moe_aux"]
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
         return loss, {"logits": masked, "model_state": {}}

@@ -35,6 +35,7 @@ class TextTransformer(nn.Module):
     adapter_dim: int = 0
     moe_experts: int = 0
     moe_top_k: int = 2
+    moe_text_gate: str = "sot"  # "sot" = reference-exact; "eot" = opt-in
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -50,9 +51,12 @@ class TextTransformer(nn.Module):
         )
         x = emb[tokens].astype(self.dtype) + pos[None, :s].astype(self.dtype)
         causal = jnp.triu(jnp.full((s, s), -1e30, jnp.float32), k=1)
-        # MoE routing vector = the EOT token (highest token id): under the
-        # causal mask token 0 only sees itself and is input-independent
+        # MoE routing vector: the reference gates text on token 0 — the SOT
+        # position, which under the causal mask only sees itself and is
+        # therefore input-independent (transformer.py:1640-1644); "eot"
+        # routes on the EOT token instead (per-prompt routing, PARITY.md)
         eot_pos = jnp.argmax(tokens, axis=-1)
+        gate_pos = eot_pos if self.moe_text_gate == "eot" else None
         moe_aux = 0.0
         for i in range(self.depth):
             block = ViTBlock(
@@ -62,7 +66,12 @@ class TextTransformer(nn.Module):
                 dtype=self.dtype, act="quick_gelu", name=f"block_{i}",
             )
             if self.moe_experts > 0:
-                x, aux = block(x, attn_mask=causal, gate_pos=eot_pos)
+                moe_rng = (
+                    self.make_rng("moe") if train and self.has_rng("moe") else None
+                )
+                x, aux = block(
+                    x, attn_mask=causal, gate_pos=gate_pos, moe_rng=moe_rng
+                )
                 moe_aux = moe_aux + aux
             else:
                 x = block(x, attn_mask=causal)
@@ -97,6 +106,7 @@ class CLIP(nn.Module):
     adapter_dim: int = 0
     moe_experts: int = 0
     moe_top_k: int = 2
+    moe_text_gate: str = "sot"
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -122,6 +132,7 @@ class CLIP(nn.Module):
             adapter_dim=self.adapter_dim,
             moe_experts=self.moe_experts,
             moe_top_k=self.moe_top_k,
+            moe_text_gate=self.moe_text_gate,
             dtype=self.dtype,
             name="text",
         )
@@ -261,6 +272,7 @@ def clip(**kwargs):
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
         moe_experts=int(kwargs.get("moe_experts", kwargs.get("experts_num", 0))),
         moe_top_k=int(kwargs.get("moe_top_k", kwargs.get("top_k", 2))),
+        moe_text_gate=str(kwargs.get("moe_text_gate", "sot")),
         dtype=kwargs.get("dtype", jnp.bfloat16),
     )
 
@@ -280,5 +292,7 @@ def clip_tiny_test(**kwargs):
         text_heads=4,
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
         moe_experts=int(kwargs.get("moe_experts", 0)),
+        moe_top_k=int(kwargs.get("moe_top_k", kwargs.get("top_k", 2))),
+        moe_text_gate=str(kwargs.get("moe_text_gate", "sot")),
         dtype=kwargs.get("dtype", jnp.float32),
     )

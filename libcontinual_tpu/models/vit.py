@@ -207,10 +207,12 @@ class MoEMLP(nn.Module):
     top_k: int = 2
     bottleneck: int = 64
     route: str = "image"
+    scale: float = 0.1  # Adapter(adapter_scalar=0.1), transformer.py:1520-1524
+    dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, gate_noise_rng=None, gate_vec=None):
+    def __call__(self, x, gate_noise_rng=None, gate_vec=None, dropout_rng=None):
         b, s, d = x.shape
         wg = self.param("w_gate", nn.initializers.zeros, (d, self.num_experts))
         wn = self.param("w_noise", nn.initializers.zeros, (d, self.num_experts))
@@ -218,9 +220,13 @@ class MoEMLP(nn.Module):
             "down", nn.initializers.kaiming_uniform(),
             (self.num_experts, d, self.bottleneck),
         )
+        down_b = self.param(
+            "down_b", nn.initializers.zeros, (self.num_experts, self.bottleneck)
+        )
         up = self.param(
             "up", nn.initializers.zeros_init(), (self.num_experts, self.bottleneck, d)
         )
+        up_b = self.param("up_b", nn.initializers.zeros, (self.num_experts, d))
         if self.route == "image":
             gx = (gate_vec if gate_vec is not None else x[:, 0, :]).astype(jnp.float32)
         else:
@@ -232,18 +238,31 @@ class MoEMLP(nn.Module):
             logits = clean + jax.random.normal(gate_noise_rng, clean.shape) * noise_std
         else:
             logits = clean
-        topv, _ = jax.lax.top_k(logits, self.top_k)
-        thresh = topv[..., -1:]
-        masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-        gates = jax.nn.softmax(masked, axis=-1)  # (B, E) or (B, S, E)
+        # exact-k selection (reference transformer.py:1627-1633): softmax over
+        # the k SELECTED logits, scattered back — a >=threshold mask would
+        # admit every tied expert (all of them at zero-init routers)
+        k = min(self.top_k, self.num_experts)
+        topv, topi = jax.lax.top_k(logits, k)
+        gk = jax.nn.softmax(topv, axis=-1)
+        onehot = jax.nn.one_hot(topi, self.num_experts, dtype=jnp.float32)
+        gates = jnp.einsum("...k,...ke->...e", gk, onehot)  # (B, E) or (B, S, E)
         h = jnp.einsum("bsd,edk->bsek", x.astype(self.dtype), down.astype(self.dtype))
+        h = h + down_b.astype(self.dtype)[None, None, :, :]
         h = nn.relu(h)
+        if dropout_rng is not None and self.dropout_rate > 0.0:
+            # expert-internal dropout (reference adapter.py:60, train mode)
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0).astype(self.dtype)
         y = jnp.einsum("bsek,ekd->bsed", h, up.astype(self.dtype))
+        y = (y + up_b.astype(self.dtype)[None, None, :, :]) * self.scale
         if self.route == "image":
             out = jnp.einsum("be,bsed->bsd", gates.astype(self.dtype), y)
         else:
             out = jnp.einsum("bse,bsed->bsd", gates.astype(self.dtype), y)
-        # cv^2 load-balancing loss over gate importance (transformer.py:1540)
+        # cv^2 load-balancing loss over gate importance (transformer.py:1540;
+        # dead code in the reference — its `load` computation is commented
+        # out — so methods weight this by 0.0 unless configured otherwise)
         importance = jnp.sum(gates.reshape(-1, self.num_experts), axis=0)
         cv2 = jnp.var(importance) / (jnp.mean(importance) ** 2 + 1e-10)
         return out, cv2
@@ -279,33 +298,43 @@ class ViTBlock(nn.Module):
                 act=self.act, name="mlp")(ln2)
         aux = 0.0
         if self.adapter_dim > 0:
+            # adapters consume the RAW post-attention residual, not ln_2(x):
+            # every reference adapter block feeds `x` straight to adaptmlp
+            # (transformer.py:1390-1395, 1453-1455; petl
+            # vision_transformer_adapter.py:167-168 runs it before norm2)
             y = y + Adapter(
                 self.dim, self.adapter_dim, self.adapter_scale, self.dtype,
                 name="adaptmlp",
-            )(ln2)
+            )(x)
         if self.moe_experts > 0:
             # routing input = post-attention residual CLS/EOT token
             # (reference transformer.py:1640-1644 gates on x[:, 0, :])
             if gate_pos is not None:
-                # per-sample routing position (text tower: the EOT token —
-                # under the causal mask token 0 is input-independent)
+                # per-sample routing position (text tower EOT opt-in; the
+                # reference gates text on token 0, which is input-independent
+                # under the causal mask — see PARITY.md)
                 gvec = jnp.take_along_axis(
                     x, gate_pos[:, None, None], axis=1
                 )[:, 0, :]
             else:
                 gvec = x[:, gate_index, :]
+            if moe_rng is not None:
+                noise_rng, drop_rng = jax.random.split(moe_rng)
+            else:
+                noise_rng = drop_rng = None
             moe_out, aux = MoEMLP(
                 self.dim, self.moe_experts, self.moe_top_k, dtype=self.dtype,
                 name="moe",
-            )(ln2, gate_noise_rng=moe_rng, gate_vec=gvec)
+            )(x, gate_noise_rng=noise_rng, gate_vec=gvec, dropout_rng=drop_rng)
             y = y + moe_out
         out = x + y
         if capture:
-            # capture BOTH normalized streams: the LoRA delta applies to the
-            # post-ln_1 activations (reference vit_inflora.py:294), while the
-            # adaptmlp adapters consume ln_2 (DMNSP protects adapter-input
-            # space); the caller picks the point it needs
-            return out, (ln1.astype(jnp.float32), ln2.astype(jnp.float32))
+            # capture both method-relevant streams: the LoRA delta applies to
+            # the post-ln_1 activations (reference vit_inflora.py:294), while
+            # the adaptmlp adapters consume the raw post-attention residual
+            # (DMNSP's input-matrix capture runs inside adaptmlp on that
+            # stream, transformer.py:1453-1455); the caller picks its point
+            return out, (ln1.astype(jnp.float32), x.astype(jnp.float32))
         if self.moe_experts > 0:
             return out, aux
         return out
@@ -437,13 +466,14 @@ class VisionTransformer(nn.Module):
                     x2 = block(x2, prefix_kv=pkv, qkv_delta=delta2)
                 if capture:
                     # input-covariance capture: ln_1 (the tensor the qkv
-                    # delta multiplies — LoRA/GPM family) or ln_2 (the
-                    # adaptmlp input — DMNSP) per ``capture_point``
-                    x, (ln1, ln2) = block(
+                    # delta multiplies — LoRA/GPM family) or the raw
+                    # post-attention residual (the adaptmlp input — DMNSP)
+                    # per ``capture_point``
+                    x, (ln1, adapt_in) = block(
                         x, prefix_kv=pkv, qkv_delta=delta, capture=True
                     )
                     attn_inputs.append(
-                        ln2 if capture_point == "mlp" else ln1
+                        adapt_in if capture_point == "mlp" else ln1
                     )
                 else:
                     x = block(x, prefix_kv=pkv, qkv_delta=delta)

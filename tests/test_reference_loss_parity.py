@@ -45,7 +45,7 @@ def ref_resnet():
 
 
 def my_method(name, kwargs=None, backbone="cifar_resnet20", feat=FEAT,
-              buffer=None):
+              buffer=None, backbone_kwargs=None):
     cfg = {
         "dataset": "cifar100",
         "image_size": 32,
@@ -56,7 +56,7 @@ def my_method(name, kwargs=None, backbone="cifar_resnet20", feat=FEAT,
         "epoch": 1,
         "dtype": "float32",
         "seed": 3,
-        "backbone": {"name": backbone, "kwargs": {}},
+        "backbone": {"name": backbone, "kwargs": dict(backbone_kwargs or {})},
         "classifier": {
             "name": name,
             "kwargs": {
@@ -721,6 +721,150 @@ def test_inflora_loss_task1():
     _, _, t_loss = tm.observe(tb)
     j_loss, _ = m.loss(state1.params, state1, jb, None)
     assert_loss_close(t_loss, j_loss, "InfLoRA task1 current-head CE", tol=1e-3)
+
+
+# ------------------------------------------------------- MoE-Adapter4CL
+
+
+def test_moe_adapter4cl_loss_task1():
+    """reference moe_adapter4cl.py:61-84 observe on the MoE CLIP
+    (ResidualAttentionBlock_MoE_MLP both towers, transformer.py:1461-1658):
+    contrastive logits vs the CURRENT task's text tokens, CE with label
+    smoothing on offset labels — vs my masked-CE over all-class tokens.
+    Both sides deterministic (reference in eval(): no gate noise / expert
+    dropout; my side rng=None) with the reference's SOT text gate."""
+    ref_clip = _refload.ref_module("core.model.backbone.clip")
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+    ref_moe = _refload.ref_module("core.model.moe_adapter4cl")
+
+    depth, d, heads, out_dim, ctx, vocab = 2, 64, 4, 32, 16, 100
+    E = 2
+    torch.manual_seed(21)
+    # Repair a reference crash: ResidualAttentionBlock_MoE_MLP.__init__
+    # forwards 13 positionals (transformer.py:1485-1498) into a base
+    # signature that has ``norm_layer_eps`` before ``attn_mask``
+    # (transformer.py:1289-1291), so the text_or_image STRING lands in
+    # attn_mask and every forward dies on `'str'.to` — the shipped MoE-CLIP
+    # config cannot execute upstream. Re-insert the skipped eps slot.
+    base_init = ref_tf.ResidualAttentionBlock.__init__
+
+    def shifted_init(self, *a, **kw):
+        if len(a) == 13:
+            a = a[:11] + (1e-5,) + a[11:]
+        return base_init(self, *a, **kw)
+
+    ref_tf.ResidualAttentionBlock.__init__ = shifted_init
+    try:
+        net = ref_clip.CLIP(
+            embed_dim=out_dim, image_resolution=32, vision_layers=depth,
+            vision_width=d, vision_patch_size=8, context_length=ctx,
+            vocab_size=vocab, transformer_width=d, transformer_heads=heads,
+            transformer_layers=depth, act_layer=ref_tf.QuickGELU,
+            block_layer="ResidualAttentionBlock_MoE_MLP",
+            experts_num=E, top_k=E, step=1)
+    finally:
+        ref_tf.ResidualAttentionBlock.__init__ = base_init
+    g = torch.Generator().manual_seed(2101)
+    with torch.no_grad():
+        for p in net.parameters():
+            if p.ndim:
+                p.uniform_(-0.08, 0.08, generator=g)
+    for mod in net.modules():  # align eps to my per-site values (PARITY.md)
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.ln_final.eps = 1e-5   # my text ln_final
+    net.visual.ln_pre.eps = 1e-5  # my ln_pre_n
+    net.eval()
+
+    tm = ref_moe.MOE_ADAPTER4CL(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        label_smoothing=0.1, embd_dim=d,
+        prompt_template="a bad photo of a {}.")
+    tm._cur_task_id = 1
+    tm._known_classes = INIT
+    rng = np.random.RandomState(2102)
+    cur_toks = rng.randint(1, vocab - 1, size=(INC, ctx))
+    cur_toks[:, 0] = 0
+    cur_toks[np.arange(INC), rng.randint(2, ctx, size=INC)] = vocab - 1
+    tm.curr_text_tokens = torch.from_numpy(cur_toks)
+
+    m, state = my_method(
+        "MOE_ADAPTER4CL",
+        {"label_smoothing": 0.1, "prompt_template": "a bad photo of a {}."},
+        backbone="clip_tiny_test", feat=out_dim,
+        backbone_kwargs={"moe_experts": E, "moe_top_k": E,
+                         "moe_text_gate": "sot"})
+
+    params = {
+        "visual_projection": S.t2n(net.visual.proj),
+        "logit_scale": S.t2n(net.logit_scale),
+        "visual": {
+            "patch_embed": {"kernel": S.conv_k(net.visual.conv1.weight),
+                            "bias": np.zeros((d,), np.float32)},
+            "cls_token": S.t2n(net.visual.class_embedding)[None, None, :],
+            "pos_embed": S.t2n(net.visual.positional_embedding)[None],
+            "ln_pre_n": S.ln_vars(net.visual.ln_pre),
+            "norm": S.ln_vars(net.visual.ln_post),
+        },
+        "text": {
+            "token_embedding": np.zeros((49408, d), np.float32),
+            "pos_embed": np.zeros((77, d), np.float32),
+            "ln_final": S.ln_vars(net.ln_final),
+            "text_projection": S.t2n(net.text_projection),
+        },
+    }
+    params["text"]["token_embedding"][:vocab] = S.t2n(net.token_embedding.weight)
+    params["text"]["pos_embed"][:ctx] = S.t2n(net.positional_embedding)
+    for tower, blocks in (("visual", net.visual.transformer.blocks),
+                          ("text", net.transformer.blocks)):
+        for i, blk in enumerate(blocks):
+            bp = S.sync_vit_block(blk)
+            bp["moe"] = {
+                "w_gate": S.t2n(blk.router_list[0]),
+                "w_noise": S.t2n(blk.w_noise_list[0]),
+                "down": np.stack([S.lin_k(a.down_proj.weight)
+                                  for a in blk.adaptmlp_list]),
+                "down_b": np.stack([S.t2n(a.down_proj.bias)
+                                    for a in blk.adaptmlp_list]),
+                "up": np.stack([S.lin_k(a.up_proj.weight)
+                                for a in blk.adaptmlp_list]),
+                "up_b": np.stack([S.t2n(a.up_proj.bias)
+                                  for a in blk.adaptmlp_list]),
+            }
+            params[tower][f"block_{i}"] = bp
+
+    def split(tree, path=()):
+        train_t, frozen_t = {}, {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                t, f = split(v, path + (k,))
+                if t:
+                    train_t[k] = t
+                if f:
+                    frozen_t[k] = f
+            elif "moe" in path or "logit_scale" in k:
+                train_t[k] = jnp.asarray(v)
+            else:
+                frozen_t[k] = jnp.asarray(v)
+        return train_t, frozen_t
+
+    trainable, frozen = split(params)
+    all_toks = np.zeros((NUM_CLASS, ctx), np.int64)
+    all_toks[INIT:INIT + INC] = cur_toks
+    state1 = install(state, {"clip": trainable}, {},
+                     {"frozen": frozen,
+                      "task_tokens": jnp.asarray(all_toks.astype(np.int32))})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = rng.randn(4, 3, 32, 32).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "MoE-Adapter4CL contrastive CE+smooth",
+                      tol=1e-3)
 
 
 # ---------------------------------------------------------------- RanPAC
