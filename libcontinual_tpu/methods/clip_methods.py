@@ -8,15 +8,26 @@ backbone/transformer.py:27-127, 1461-1658):
     names of the current task (moe_adapter4cl.py:61-118);
   * inference: similarity against all seen class names' text features.
 
-RAPF (reference core/model/rapf.py): frozen CLIP + a linear adapter over
-image features trained contrastively against class-name text features;
-near-class feature interpolation during training; after each task, per-class
+RAPF (reference core/model/rapf.py): frozen CLIP + a bias-free linear
+adapter over image features trained contrastively against class-name text
+features (one CE over current images + Gaussian-replayed old features,
+rapf.py:335-353); "hard" old/new class pairs whose text features sit closer
+than ``threshold`` (rapf.py:179-192) contribute a hinge loss pushing
+old-class edge samples toward their own text feature and away from the
+near new class (rapf.py:341-348); after each task, per-class
 full-covariance Gaussian statistics are recorded (cov + 1e-4 I,
 rapf.py:198-211, optionally shrunk per rapf.py:26-36) and old-class features
 are replayed by Cholesky sampling (rapf.py:37-44), a few round-robin classes
 per batch (rapf.py:305-321); post-task SVD parameter fusion re-expresses the
 new adapter in the old adapter's left-singular basis and blends by
 normalized drift + mix_bias (``mix_matrix``, rapf.py:212-226).
+
+Note the shipped reference RAPF configs request
+``block_layer: ResidualAttentionBlock_MoE_MLP`` (with 1 frozen expert),
+which cannot execute upstream — that block's ``__init__`` drops a
+positional slot and passes the tower-kind string as ``attn_mask``
+(transformer.py:1485-1498 vs 1289-1291, see PARITY.md) — so this framework
+runs RAPF on the plain CLIP tower the method actually trains against.
 """
 
 from __future__ import annotations
@@ -259,11 +270,17 @@ class RAPF(CLIPMethod):
         self.embed_dim = int(self.kwargs.get("embed_dim", 512))
         self.beta = float(self.kwargs.get("beta", 2.0))
         self.shrinkage = bool(self.kwargs.get("shrinkage", False))
+        self.threshold = float(self.kwargs.get("threshold", 0.55))
         self.mix_bias = float(self.kwargs.get("mix_bias", 0.6))
-        self.neighbor_mix = float(self.kwargs.get("neighbor_mix", 0.2))
         # classes replayed per batch (reference rapf.py:311-315)
         self.replay_cpb = 4 if self.inc_cls_num == 5 else 2
         self.replay_per_cls = int(10 * self.beta)
+        # edge samples drawn per hard (old, new) pair (rapf.py:329)
+        self.edge_per_pair = int(20 * self.beta)
+        # static capacity for the per-task hard-pair set (the reference's
+        # tensor is dynamically sized, rapf.py:188-192; threshold 0.55 on
+        # normalized CLIP text features keeps real counts far below this)
+        self.hard_cap = int(self.kwargs.get("hard_pairs_cap", 32))
 
     def init_state(self, rng, sample_input_hw):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -272,9 +289,13 @@ class RAPF(CLIPMethod):
         clip_params = self.clip_init_params(k1, dummy, toks)
         d = self.backbone.embed_dim
         self.embed_dim = d
+        # bias-free Linear(d, d) with torch's default kaiming-uniform init
+        # (reference rapf.py:84 nn.Linear(512, 512, bias=False)): U(+-1/sqrt(d))
+        bound = 1.0 / float(np.sqrt(d))
         adapter = {
-            "kernel": jnp.eye(d, dtype=jnp.float32),
-            "bias": jnp.zeros((d,), jnp.float32),
+            "kernel": jax.random.uniform(
+                k2, (d, d), jnp.float32, minval=-bound, maxval=bound
+            ),
         }
         seen, prev = make_masks(self.num_class, 0, self.init_cls_num)
         return TrainState(
@@ -297,9 +318,12 @@ class RAPF(CLIPMethod):
                 # round-robin replay order over old classes (rapf.py:266-269)
                 "replay_order": jnp.zeros((self.num_class,), jnp.int32),
                 "replay_len": jnp.ones((), jnp.int32),
+                # padded hard (old, new) text-feature pairs (rapf.py:179-192)
+                "hard_old": jnp.zeros((self.hard_cap,), jnp.int32),
+                "hard_new": jnp.zeros((self.hard_cap,), jnp.int32),
+                "hard_valid": jnp.zeros((self.hard_cap,), jnp.float32),
                 "old_adapter": {
-                    "kernel": jnp.eye(d, dtype=jnp.float32),
-                    "bias": jnp.zeros((d,), jnp.float32),
+                    "kernel": jnp.zeros((d, d), jnp.float32),
                 },
             },
             rng=k3,
@@ -332,7 +356,37 @@ class RAPF(CLIPMethod):
             pad = np.resize(order, self.num_class)  # cycle-pad to fixed shape
             mvars["replay_order"] = jnp.asarray(pad.astype(np.int32))
             mvars["replay_len"] = jnp.asarray(n_old, jnp.int32)
+            # hard (old, new) pairs: euclidean distance between normalized
+            # class-name text features below threshold (rapf.py:179-192);
+            # row-major over (old, new) like torch.nonzero
+            tf = np.asarray(mvars["text_feats"], np.float32)
+            n_new = min(self.inc_cls_num, self.num_class - n_old)
+            diff = np.linalg.norm(
+                tf[n_old:n_old + n_new][None, :, :] - tf[:n_old][:, None, :],
+                axis=-1,
+            )
+            ko, kn = np.nonzero(diff < self.threshold)
+            if len(ko) > self.hard_cap:
+                self.logger_warn(
+                    f"RAPF: {len(ko)} hard pairs exceed hard_pairs_cap="
+                    f"{self.hard_cap}; truncating"
+                )
+                ko, kn = ko[: self.hard_cap], kn[: self.hard_cap]
+            hard_old = np.zeros((self.hard_cap,), np.int32)
+            hard_new = np.zeros((self.hard_cap,), np.int32)
+            hard_valid = np.zeros((self.hard_cap,), np.float32)
+            hard_old[: len(ko)] = ko
+            hard_new[: len(ko)] = n_old + kn
+            hard_valid[: len(ko)] = 1.0
+            mvars["hard_old"] = jnp.asarray(hard_old)
+            mvars["hard_new"] = jnp.asarray(hard_new)
+            mvars["hard_valid"] = jnp.asarray(hard_valid)
         return state.replace(mvars=mvars)
+
+    def logger_warn(self, msg):
+        import logging
+
+        logging.getLogger("libcontinual_tpu").warning(msg)
 
     def _image_feats(self, mvars, x):
         out = self.backbone.apply(
@@ -343,45 +397,74 @@ class RAPF(CLIPMethod):
         return jax.lax.stop_gradient(out[0])
 
     def _adapted(self, params, f):
-        g = f @ params["adapter"]["kernel"] + params["adapter"]["bias"]
-        return normalized(g, eps=1e-8)
+        return normalized(f @ params["adapter"]["kernel"], eps=1e-8)
 
     def loss(self, params, state, batch, rng):
+        """One CE over [current images; Gaussian-replayed old features]
+        (a single mean, reference rapf.py:339-349) + the hard-pair hinge
+        over edge samples drawn from the old class of each pair
+        (rapf.py:324-348)."""
         f = self._image_feats(state.mvars, batch["x"])
-        k2 = rng  # single stochastic draw: the Gaussian replay noise
-        # neighbor-aware mixing: blend features toward the text feature of
-        # the nearest *other* seen class (rapf.py's feature adjustment)
+        k_replay, k_edge = jax.random.split(
+            rng if rng is not None else jax.random.PRNGKey(0)
+        )
         tf = state.mvars["text_feats"]
-        sims = f @ tf.T
-        sims = jnp.where(state.seen_mask[None, :] > 0, sims, -jnp.inf)
-        own = jax.nn.one_hot(batch["label"], self.num_class) * 1e9
-        neighbor = jnp.argmax(sims - own, axis=1)
-        f_mix = (1 - self.neighbor_mix) * f + self.neighbor_mix * tf[neighbor]
-        g = self._adapted(params, f_mix)
-        scale = 100.0
-        logits = scale * g @ tf.T
-        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), state.seen_mask)
+        scale = jnp.exp(state.mvars["frozen"]["logit_scale"])
 
         # Gaussian replay of old classes: a few round-robin classes per batch,
         # sampled from the full-covariance Gaussian via its Cholesky factor
-        # (reference rapf.py:305-321, 37-44)
+        # (reference rapf.py:305-321, 37-44). The reference indexes its
+        # shuffled class list by the per-epoch batch id; state.step carries
+        # the same round-robin across epoch boundaries (documented phase
+        # deviation — both traverse every old class uniformly).
         cpb, n_per = self.replay_cpb, self.replay_per_cls
         slot = state.step * cpb + jnp.arange(cpb)
         pos = jnp.mod(slot, jnp.maximum(state.mvars["replay_len"], 1))
         cls = state.mvars["replay_order"][pos]  # (cpb,)
-        noise = jax.random.normal(k2, (cpb, n_per, self.embed_dim))
+        noise = jax.random.normal(k_replay, (cpb, n_per, self.embed_dim))
         L = state.mvars["cls_chol"][cls]  # (cpb, d, d) lower factors
         rf = state.mvars["cls_mean"][cls][:, None, :] + jnp.einsum(
             "cnd,ced->cne", noise, L
         )
         rf = rf.reshape(cpb * n_per, self.embed_dim)
         r_targets = jnp.repeat(cls, n_per, total_repeat_length=cpb * n_per)
-        rg = self._adapted(params, rf)
-        r_logits = scale * rg @ tf.T
-        r_ce = masked_cross_entropy(r_logits, r_targets, None, state.seen_mask)
-        old_valid = state.mvars["cls_valid"] * state.prev_mask
-        on = jnp.where((state.task > 0) & (jnp.sum(old_valid) > 0), 1.0, 0.0)
-        loss = ce + on * r_ce
+
+        g_all = self._adapted(params, jnp.concatenate([f, rf], axis=0))
+        logits_all = scale * g_all @ tf.T
+        targets_all = jnp.concatenate([batch["label"], r_targets])
+        w_img = batch.get("weight")
+        if w_img is None:
+            w_img = jnp.ones((f.shape[0],), jnp.float32)
+        replay_on = jnp.where(state.task > 0, 1.0, 0.0)
+        w_all = jnp.concatenate(
+            [w_img, replay_on * jnp.ones((rf.shape[0],), jnp.float32)]
+        )
+        ce = masked_cross_entropy(logits_all, targets_all, w_all, state.seen_mask)
+
+        # hinge on edge samples from each hard pair's OLD-class Gaussian:
+        # relu(-(e . t_old) + (e . t_new) + 0.1) (rapf.py:341-348)
+        P, ne = self.hard_cap, self.edge_per_pair
+        ecls = state.mvars["hard_old"]
+        enoise = jax.random.normal(k_edge, (P, ne, self.embed_dim))
+        eL = state.mvars["cls_chol"][ecls]
+        ef = state.mvars["cls_mean"][ecls][:, None, :] + jnp.einsum(
+            "pnd,ped->pne", enoise, eL
+        )
+        eg = self._adapted(params, ef.reshape(P * ne, self.embed_dim))
+        t_old = tf[jnp.repeat(ecls, ne, total_repeat_length=P * ne)]
+        t_new = tf[jnp.repeat(state.mvars["hard_new"], ne,
+                              total_repeat_length=P * ne)]
+        h = jax.nn.relu(
+            -jnp.sum(eg * jax.lax.stop_gradient(t_old), axis=-1)
+            + jnp.sum(eg * jax.lax.stop_gradient(t_new), axis=-1)
+            + 0.1
+        )
+        ev = jnp.repeat(state.mvars["hard_valid"], ne,
+                        total_repeat_length=P * ne)
+        hinge = jnp.sum(h * ev) / jnp.maximum(jnp.sum(ev), 1.0)
+        has_edge = jnp.where(jnp.sum(state.mvars["hard_valid"]) > 0, 1.0, 0.0)
+        loss = ce + has_edge * hinge
+        logits = logits_all[: f.shape[0]]
         masked = jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
         return loss, {"logits": masked, "model_state": {}}
 
@@ -392,13 +475,18 @@ class RAPF(CLIPMethod):
         valid = np.array(state.mvars["cls_valid"])
         feats_all, labels_all = [], []
 
+        # the reference gathers stats by iterating its train_loader
+        # (rapf.py:273-281) — train-time augmentation included
+        aug_rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + task_idx)
+
         @jax.jit
-        def feat(state, images):
-            x = self.augment(None, images, train=False)
+        def feat(state, rng, images):
+            x = self.augment(rng, images, train=True)
             return self._image_feats(state.mvars, x)
 
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
-            fl = np.asarray(feat(state, im))
+            aug_rng, sub = jax.random.split(aug_rng)
+            fl = np.asarray(feat(state, sub, im))
             keep = np.asarray(w) > 0
             feats_all.append(fl[keep])
             labels_all.append(np.asarray(lb)[keep])
@@ -440,5 +528,6 @@ class RAPF(CLIPMethod):
     def eval_logits(self, state, x, task_id):
         f = self._image_feats(state.mvars, x)
         g = self._adapted(state.params, f)
-        logits = 100.0 * g @ state.mvars["text_feats"].T
+        scale = jnp.exp(state.mvars["frozen"]["logit_scale"])
+        logits = scale * g @ state.mvars["text_feats"].T
         return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)

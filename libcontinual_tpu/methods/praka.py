@@ -123,12 +123,15 @@ class PRAKA(Method):
         # reference old_model.eval() is undone each epoch by the trainer's
         # model.train() (trainer.py:575) — the teacher computes with the
         # current batch's BN statistics during training
+        # the reference distills over the WHOLE rotated stack:
+        # feature_old = old_model.feature(imgs) with imgs = all 4 rotations
+        # (praka.py:221-223)
         t_out, _ = self.apply_backbone(
-            state.mvars["teacher"], state.mvars["teacher_state"], x, train=self.teacher_train
+            state.mvars["teacher"], state.mvars["teacher_state"], xs, train=self.teacher_train
         )
         # torch.dist(a, b, 2): the L2 NORM of the difference (praka.py:223)
         kd = jnp.sqrt(
-            jnp.sum((feats[:b] - jax.lax.stop_gradient(t_out["features"])) ** 2)
+            jnp.sum((feats - jax.lax.stop_gradient(t_out["features"])) ** 2)
             + 1e-12
         )
 
@@ -179,16 +182,21 @@ class PRAKA(Method):
         valid = np.array(state.mvars["proto_valid"])
         feats_all, labels_all = [], []
 
+        # reference protoSave iterates the train_loader (train-time
+        # augmentation) but runs the model in eval() (praka.py:281-309)
+        aug_rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + task_idx)
+
         @jax.jit
-        def feat(state, images):
-            x = self.augment(None, images, train=False)
+        def feat(state, rng, images):
+            x = self.augment(rng, images, train=True)
             out, _ = self.apply_backbone(
                 state.params, state.mvars["model_state"], x, train=False
             )
             return out["features"]
 
         for im, lb, w in batch_iter(task_data.images, task_data.labels, bs):
-            f = np.asarray(feat(state, im))
+            aug_rng, sub = jax.random.split(aug_rng)
+            f = np.asarray(feat(state, sub, im))
             keep = np.asarray(w) > 0
             feats_all.append(f[keep])
             labels_all.append(np.asarray(lb)[keep])

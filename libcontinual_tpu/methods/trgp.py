@@ -51,6 +51,8 @@ class TRGP(GPM):
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
+        # reference observe applies label smoothing (trgp.py:152)
+        self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
         # per-task per-layer subspaces (host mirror, padded copies in mvars)
         self._task_spaces: List[List[np.ndarray]] = [
             [np.zeros((d, 0)) for d in LAYER_IN_FLAT] for _ in range(self.task_num)
@@ -111,7 +113,8 @@ class TRGP(GPM):
             params, state, batch["x"], train=True, rng=rng
         )
         cur_mask = state.seen_mask - state.prev_mask
-        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"),
+                                  cur_mask, self.label_smoothing)
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
         return ce, {"logits": masked, "model_state": {}}
 

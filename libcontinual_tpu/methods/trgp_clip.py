@@ -34,6 +34,8 @@ class TRGPCLIP(CLIPMethod):
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
+        # reference observe applies label smoothing (trgp.py:138)
+        self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
         self.depth = self.backbone.vision_depth
         self.width = self.backbone.vision_width
         self._feature_list: List[np.ndarray] = []
@@ -117,7 +119,8 @@ class TRGPCLIP(CLIPMethod):
             state.task,
         )
         cur_mask = state.seen_mask - state.prev_mask
-        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"), cur_mask)
+        ce = masked_cross_entropy(logits, batch["label"], batch.get("weight"),
+                                  cur_mask, self.label_smoothing)
         masked = jnp.where(cur_mask[None, :] > 0, logits, -1e30)
         return ce, {"logits": masked, "model_state": {}}
 

@@ -249,6 +249,12 @@ def ensure_loaded():
     _synthetic_pkg("core", REF_ROOT + "/core")
     _synthetic_pkg("core.model", REF_ROOT + "/core/model")
     _synthetic_pkg("core.model.backbone", REF_ROOT + "/core/model/backbone")
+    _synthetic_pkg("core.data", REF_ROOT + "/core/data")
+    # rapf.py imports core.data.dataloader (torchvision.datasets-heavy) but
+    # the code paths we execute never touch it — register an empty shell
+    dl = types.ModuleType("core.data.dataloader")
+    sys.modules["core.data.dataloader"] = dl
+    sys.modules["core.data"].dataloader = dl
     _loaded = True
 
 
@@ -258,6 +264,12 @@ def ref_module(dotted: str):
     # some method modules do `from core.model.backbone import resnet18`:
     # mirror the resnet factories onto the synthetic (init-less) backbone
     # package without executing its heavyweight __init__
+    # praka.py does `from core.model import Finetune`: mirror it onto the
+    # synthetic core.model package without executing its __init__
+    cm = sys.modules["core.model"]
+    if dotted == "core.model.praka" and not hasattr(cm, "Finetune"):
+        ft = importlib.import_module("core.model.finetune")
+        cm.Finetune = ft.Finetune
     pkg = sys.modules["core.model.backbone"]
     if not hasattr(pkg, "resnet18"):
         rn = importlib.import_module("core.model.backbone.resnet")

@@ -1336,3 +1336,309 @@ def test_wa_loss_task1(ref_resnet):
     _, _, t_loss = tm.observe(tb)
     j_loss, _ = m.loss(state1.params, state1, jb, jax.random.PRNGKey(1))
     assert_loss_close(t_loss, j_loss, "WA task1 (1-lam)CE+lam*KD")
+
+
+# ---------------------------------------------------------------- RAPF
+
+
+def _rapf_pair(beta=0.5):
+    """Tiny plain-block reference CLIP + RAPF method object, my RAPF with
+    synced frozen towers and adapter. The shipped reference RAPF config's
+    MoE block cannot execute upstream (PARITY.md), so both sides run the
+    plain tower the adapter trains against (rapf.py:60-118)."""
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+    ref_clip = _refload.ref_module("core.model.backbone.clip")
+    ref_rapf = _refload.ref_module("core.model.rapf")
+
+    depth, d, heads, out_dim, ctx, vocab = 2, 64, 4, 32, 16, 100
+    net = ref_clip.CLIP(
+        embed_dim=out_dim, image_resolution=32, vision_layers=depth,
+        vision_width=d, vision_patch_size=8, context_length=ctx,
+        vocab_size=vocab, transformer_width=d, transformer_heads=heads,
+        transformer_layers=depth, act_layer=ref_tf.QuickGELU)
+    g = torch.Generator().manual_seed(511)
+    with torch.no_grad():
+        for p in net.parameters():
+            if p.ndim:
+                p.uniform_(-0.08, 0.08, generator=g)
+    for mod in net.modules():  # documented eps deviation (PARITY.md)
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.ln_final.eps = 1e-5
+    net.visual.ln_pre.eps = 1e-5
+    net.eval()
+
+    tm = ref_rapf.RAPF(
+        net, seed=3, device=DEV, fp16=False, mix_bias=0.6,
+        prompt_template="a good photo of a {}", init_cls_num=INIT,
+        inc_cls_num=INC, task_num=TASKS, beta=beta, shrinkage=False,
+        threshold=0.55, train_batch_size=8, batch_size=8, num_workers=0)
+    # the reference hardcodes Linear(512, 512) (rapf.py:84); re-size to the
+    # tiny tower's embed dim
+    tm.model.adapter = torch.nn.Linear(out_dim, out_dim, bias=False)
+    with torch.no_grad():
+        tm.model.adapter.weight.uniform_(-0.3, 0.3, generator=g)
+
+    m, state = my_method(
+        "RAPF", {"beta": beta, "threshold": 0.55, "mix_bias": 0.6},
+        backbone="clip_tiny_test", feat=out_dim)
+
+    params = {
+        "visual_projection": S.t2n(net.visual.proj),
+        "logit_scale": S.t2n(net.logit_scale),
+        "visual": {
+            "patch_embed": {"kernel": S.conv_k(net.visual.conv1.weight),
+                            "bias": np.zeros((d,), np.float32)},
+            "cls_token": S.t2n(net.visual.class_embedding)[None, None, :],
+            "pos_embed": S.t2n(net.visual.positional_embedding)[None],
+            "ln_pre_n": S.ln_vars(net.visual.ln_pre),
+            "norm": S.ln_vars(net.visual.ln_post),
+        },
+        "text": {
+            "token_embedding": np.zeros((49408, d), np.float32),
+            "pos_embed": np.zeros((77, d), np.float32),
+            "ln_final": S.ln_vars(net.ln_final),
+            "text_projection": S.t2n(net.text_projection),
+        },
+    }
+    params["text"]["token_embedding"][:vocab] = S.t2n(net.token_embedding.weight)
+    params["text"]["pos_embed"][:ctx] = S.t2n(net.positional_embedding)
+    for tower, blocks in (("visual", net.visual.transformer.blocks),
+                          ("text", net.transformer.blocks)):
+        for i, blk in enumerate(blocks):
+            params[tower][f"block_{i}"] = S.sync_vit_block(blk)
+    frozen = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.RandomState(512)
+    all_toks = rng.randint(1, vocab - 1, size=(NUM_CLASS, ctx))
+    all_toks[:, 0] = 0
+    all_toks[np.arange(NUM_CLASS), rng.randint(2, ctx, size=NUM_CLASS)] = vocab - 1
+
+    # my text features, as my before_task computes them (normalized fp32)
+    out = m.backbone.apply(
+        {"params": frozen},
+        method=lambda mod, t: mod.encode_text(t, train=False),
+        t=jnp.asarray(all_toks.astype(np.int32)))
+    tf = out[0]
+    tf = tf / (jnp.linalg.norm(tf, axis=-1, keepdims=True) + 1e-8)
+
+    adapter = {"kernel": jnp.asarray(S.lin_k(tm.model.adapter.weight))}
+    state = install(state, {"adapter": adapter}, {},
+                    {"frozen": frozen, "text_feats": tf})
+    return ref_rapf, net, tm, m, state, all_toks, rng
+
+
+def test_rapf_loss_task0():
+    """reference rapf.py:292-353 observe at task 0: pure CE of adapted
+    image features against the current class-name text features, through
+    the fp16 input round-trip (rapf.py:127)."""
+    _, net, tm, m, state, all_toks, rng = _rapf_pair()
+    tm.task_id = 0
+    tm.model.text_tokens = torch.from_numpy(all_toks[:INIT])
+    tm.model.hard_pairs = None
+
+    x = (rng.randn(4, 3, 32, 32) * 0.5).astype(np.float16).astype(np.float32)
+    y = rng.randint(0, INIT, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y),
+          "batch_id": 0}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(7))
+    assert_loss_close(t_loss, j_loss, "RAPF task0 CE", tol=1e-3)
+
+
+def test_rapf_loss_task1_replay_and_hinge():
+    """reference rapf.py:292-353 observe at task 1: one CE over
+    [images; Gaussian-replayed old features] (round-robin classes by batch
+    id, rapf.py:305-323) + the hard-pair hinge over edge samples
+    (rapf.py:324-348). Covariances are driven to ~0 so both sides' samples
+    collapse to the class means and the stochastic paths align."""
+    _, net, tm, m, state, all_toks, rng = _rapf_pair()
+    d = 32
+    tm.task_id = 1
+    tm.model.text_tokens = torch.from_numpy(all_toks[:INIT + INC])
+    with torch.no_grad():
+        cnf = tm.model.get_class_name_features()
+    tm.model.class_name_features = cnf / cnf.norm(dim=-1, keepdim=True)
+    means = (rng.randn(INIT, d) * 0.5).astype(np.float32)
+    tm.model.class_mean_list = [torch.from_numpy(means[i]) for i in range(INIT)]
+    tm.model.class_cov_list = [1e-30 * torch.eye(d) for _ in range(INIT)]
+    tm.model.hard_pairs = torch.tensor([[0, 5], [2, 7]])
+    tm.model.old_adapter = copy.deepcopy(tm.model.adapter)
+    tm.random_class_order_list = [2, 0, 3, 1]
+    batch_id = 3
+
+    state = m.start_task(state, 1, INIT, INIT + INC)
+    mvars = dict(state.mvars)
+    cls_mean = np.zeros((NUM_CLASS, d), np.float32)
+    cls_mean[:INIT] = means
+    mvars["cls_mean"] = jnp.asarray(cls_mean)
+    mvars["cls_chol"] = jnp.zeros((NUM_CLASS, d, d), jnp.float32)
+    mvars["cls_valid"] = jnp.asarray(
+        (np.arange(NUM_CLASS) < INIT).astype(np.float32))
+    mvars["replay_order"] = jnp.asarray(
+        np.resize(np.array([2, 0, 3, 1], np.int32), NUM_CLASS))
+    mvars["replay_len"] = jnp.asarray(INIT, jnp.int32)
+    hard_old = np.zeros((m.hard_cap,), np.int32)
+    hard_new = np.zeros((m.hard_cap,), np.int32)
+    hard_valid = np.zeros((m.hard_cap,), np.float32)
+    hard_old[:2] = [0, 2]
+    hard_new[:2] = [5, 7]
+    hard_valid[:2] = 1.0
+    mvars.update(hard_old=jnp.asarray(hard_old), hard_new=jnp.asarray(hard_new),
+                 hard_valid=jnp.asarray(hard_valid))
+    state = state.replace(mvars=mvars, step=jnp.asarray(batch_id, jnp.int32))
+
+    x = (rng.randn(4, 3, 32, 32) * 0.5).astype(np.float16).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y),
+          "batch_id": batch_id}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(9))
+    assert_loss_close(t_loss, j_loss, "RAPF task1 CE+replay+hinge", tol=1e-3)
+
+
+def test_rapf_mix_matrix_executing_ref():
+    """reference mix_matrix (rapf.py:212-226) executed on a detached shell
+    vs my numpy fusion rule."""
+    ref_rapf = _refload.ref_module("core.model.rapf")
+    from libcontinual_tpu.methods.clip_methods import mix_matrix
+
+    class Shell:
+        pass
+
+    g = torch.Generator().manual_seed(513)
+    sh = Shell()
+    sh.adapter = torch.nn.Linear(16, 16, bias=False)
+    sh.old_adapter = torch.nn.Linear(16, 16, bias=False)
+    with torch.no_grad():
+        sh.adapter.weight.uniform_(-0.5, 0.5, generator=g)
+        sh.old_adapter.weight.uniform_(-0.5, 0.5, generator=g)
+    sh.mix_b = 0.6
+    W_old = S.t2n(sh.old_adapter.weight).astype(np.float64)
+    W_new = S.t2n(sh.adapter.weight).astype(np.float64)
+    ref_rapf.ClassIncrementalCLIP.mix_matrix(sh)
+    mine = mix_matrix(W_old, W_new, 0.6)
+    ref = S.t2n(sh.adapter.weight)
+    assert np.abs(mine - ref).max() < 1e-4, np.abs(mine - ref).max()
+
+
+# ---------------------------------------------------------------- PRAKA
+
+
+def _praka_pair(ref_resnet, task1=False):
+    """Reference PRAKA (joint rotation head + single head) on
+    cifar_resnet20, my PRAKA with synced heads/backbone/teacher. The
+    reference hardcodes Linear(512, .) heads (praka.py:33-34); re-size to
+    the tiny backbone's feat dim."""
+    ref_praka = _refload.ref_module("core.model.praka")
+    bb = ref_resnet.cifar_resnet20()
+    randomize_torch(bb, seed=61)
+
+    class FeatWrap(torch.nn.Module):
+        # PRAKA's shipped backbone (resnet18_cbam) returns a flat feature
+        # tensor (resnet_cbam.py:192-203); cifar_resnet20 returns a dict
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, x):
+            out = self.inner(x)
+            return out["features"] if isinstance(out, dict) else out
+
+    tm = ref_praka.PRAKA(
+        FeatWrap(bb), FEAT, NUM_CLASS, device=DEV, init_cls_num=INIT,
+        inc_cls_num=INC, task_num=TASKS, temp=0.1, protoAug_weight=15.0,
+        kd_weight=15.0)
+    width = (INIT + INC) if task1 else INIT
+    g = torch.Generator().manual_seed(62)
+    tm.model.fc = torch.nn.Linear(FEAT, width * 4)
+    tm.model.classifier = torch.nn.Linear(FEAT, width)
+    with torch.no_grad():
+        for lin in (tm.model.fc, tm.model.classifier):
+            lin.weight.normal_(0, 0.1, generator=g)
+            lin.bias.normal_(0, 0.1, generator=g)
+    m, state = my_method(
+        "PRAKA", {"temp": 0.1, "protoAug_weight": 15.0, "kd_weight": 15.0})
+    bp, bs = backbone_pytree(tm.model.feature.inner)
+    params = {
+        "backbone": bp,
+        "head": head_pytree(tm.model.fc, width=NUM_CLASS * 4),
+        "single": head_pytree(tm.model.classifier),
+    }
+    return ref_praka, tm, m, state, params, {"batch_stats": bs}
+
+
+def test_praka_loss_task0(ref_resnet):
+    """reference praka.py:139-219 first-task loss: temperature CE on the
+    joint 4x rotation head + temperature CE on the single head + KL
+    (single || rotation-aggregated joint)."""
+    _, tm, m, state, params, mstate = _praka_pair(ref_resnet)
+    tm.task_idx = 0
+    state = install(state, params, mstate,
+                    {"teacher": copy.deepcopy(params),
+                     "teacher_state": copy.deepcopy(mstate)})
+    tb, jb = batch_of(63, 0, INIT, n=4)
+    tm.model.train()
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(3))
+    assert_loss_close(t_loss, j_loss, "PRAKA task0 joint+single+distill")
+
+
+def test_praka_loss_task1(ref_resnet, monkeypatch):
+    """reference praka.py:218-256 incremental loss: + kd_weight * L2 over
+    the WHOLE rotated stack vs the old model + protoAug_weight * (CE +
+    joint CE + KL) over prototype-feature mixes. Both sides' stochastic
+    draws (mix class / lam / row / sign) are pinned to the same values."""
+    _, tm, m, state, params, mstate = _praka_pair(ref_resnet, task1=True)
+    tm.task_idx = 1
+    b = 4
+    # old model: drifted copy
+    tm.old_model = copy.deepcopy(tm.model)
+    g = torch.Generator().manual_seed(64)
+    with torch.no_grad():
+        for p in tm.old_model.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.02)
+    proto_cls = 2
+    proto_vec = (np.random.RandomState(65).randn(FEAT) * 0.5).astype(np.float32)
+    tm.prototype = {proto_cls: proto_vec}
+
+    # pin the reference's numpy draws (praka.py:229-240)
+    monkeypatch.setattr(np.random, "randint", lambda lo, hi=None: 1)
+    monkeypatch.setattr(np.random, "shuffle", lambda lst: None)
+    monkeypatch.setattr(np.random, "beta", lambda a, bb: 0.3)
+    monkeypatch.setattr(np.random, "random", lambda: 0.7)
+    # pin my jax draws to the same values; reference row 1 of the
+    # INTERLEAVED stack (img0, rot1) = row b of my BLOCKED stack
+    monkeypatch.setattr(jax.random, "beta",
+                        lambda k, a, bb, shape: jnp.full(shape, 0.3))
+    monkeypatch.setattr(jax.random, "randint",
+                        lambda k, shape, lo, hi: jnp.full(shape, b, jnp.int32))
+    # reference draw 0.7 >= 0.5 takes the (1+lam)*proto - lam*feat branch
+    monkeypatch.setattr(jax.random, "bernoulli",
+                        lambda k, p, shape: jnp.ones(shape, bool))
+
+    tp, tbs = backbone_pytree(tm.old_model.feature.inner)
+    teacher = {
+        "backbone": tp,
+        "head": head_pytree(tm.old_model.fc, width=NUM_CLASS * 4),
+        "single": head_pytree(tm.old_model.classifier),
+    }
+    protos = np.zeros((NUM_CLASS, FEAT), np.float32)
+    protos[proto_cls] = proto_vec
+    pvalid = np.zeros((NUM_CLASS,), np.float32)
+    pvalid[proto_cls] = 1.0
+    state = install(state, params, mstate,
+                    {"teacher": teacher, "teacher_state": {"batch_stats": tbs},
+                     "protos": jnp.asarray(protos),
+                     "proto_valid": jnp.asarray(pvalid)})
+    state = m.start_task(state, 1, INIT, INIT + INC)
+    tb, jb = batch_of(66, INIT, INIT + INC, n=b)
+    tm.model.train()
+    tm.old_model.train()  # trainer.py:575 flips the teacher every epoch
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(5))
+    assert_loss_close(t_loss, j_loss, "PRAKA task1 +kd+protoAug", tol=5e-4)
