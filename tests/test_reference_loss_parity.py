@@ -1642,3 +1642,141 @@ def test_praka_loss_task1(ref_resnet, monkeypatch):
     _, _, t_loss = tm.observe(tb)
     j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(5))
     assert_loss_close(t_loss, j_loss, "PRAKA task1 +kd+protoAug", tol=5e-4)
+
+
+# ---------------------------------------------------------------- TRGP
+
+
+def test_trgp_loss_scale_and_projection_task1():
+    """reference trgp.py:129-168 AlexNet observe at task 1: smoothed CE on
+    the task head THROUGH the trust-region scale reparameterization
+    (alexnet.py:34-56 cumulative W <- W + W U (Q-I) U^T), then the manual
+    GPM projection of every layer's weight gradient out of the accumulated
+    feature space (trgp.py:158-161). Compares loss, all 5 projected layer
+    grads, and the trained scale grads."""
+    from libcontinual_tpu.models.alexnet import LAYER_IN_FLAT, CONV_SPECS
+
+    ref_trgp = _refload.ref_module("core.model.trgp")
+    ref_alex = _refload.ref_module("core.model.backbone.alexnet")
+    torch.manual_seed(71)
+    bb = ref_alex.AlexNet_TRGP()
+    g = torch.Generator().manual_seed(72)
+    with torch.no_grad():
+        for p in bb.parameters():
+            p.uniform_(-0.1, 0.1, generator=g)
+    tm = ref_trgp.TRGP(bb, DEV, init_cls_num=INIT, inc_cls_num=INC,
+                       task_num=TASKS, label_smoothing=0.1)
+    with torch.no_grad():
+        for cl in tm.network.classifiers:
+            cl.weight.normal_(0, 0.1, generator=g)
+    tm.cur_task = 1
+    tm._known_classes = INIT
+    tm.network.eval()  # dropout off on both sides (draws can't be aligned)
+
+    rng = np.random.RandomState(73)
+    r_space, r_feat = 3, 4
+
+    def perm_conv(U, li):
+        """torch input-row order -> mine: conv patches are (c, kh, kw) ->
+        (kh, kw, c); fc1's input is torch's NCHW flatten (c=256, 2, 2) ->
+        my NHWC flatten (2, 2, c)."""
+        if li == 4:
+            return U
+        if li == 3:
+            return U.reshape(256, 2, 2, -1).transpose(1, 2, 0, 3).reshape(
+                1024, -1)
+        c, k = CONV_SPECS[li]["in_ch"], CONV_SPECS[li]["kernel"]
+        return U.reshape(c, k, k, -1).transpose(1, 2, 0, 3).reshape(
+            k * k * c, -1)
+
+    spaces, scales, feats = [], [], []
+    for li, d in enumerate(LAYER_IN_FLAT):
+        q, _ = np.linalg.qr(rng.randn(d, r_space + r_feat))
+        spaces.append(np.ascontiguousarray(q[:, :r_space], np.float32))
+        feats.append(np.ascontiguousarray(q[:, r_space:], np.float32))
+        scales.append((np.eye(r_space) + 0.1 * rng.randn(r_space, r_space))
+                      .astype(np.float32))
+
+    # reference: enable one trust-region space per layer + non-trivial Q.
+    # Repair an upstream aliasing bug first: enable_scale builds
+    # nn.Parameter(self.identity_matrix) (alexnet.py:27,71), which SHARES
+    # STORAGE with the identity the forward subtracts — so on the CPU
+    # device (cropped_scale - cropped_identity) is identically zero and
+    # the scale reparameterization can never act (see PARITY.md). Give
+    # each scale its own storage, as the paper semantics require.
+    for li, module in enumerate(tm.layers):
+        module.enable_scale([torch.from_numpy(spaces[li])])
+        module.scale_param[0] = torch.nn.Parameter(
+            module.identity_matrix.clone())
+        with torch.no_grad():
+            module.scale_param[0][:r_space, :r_space] = torch.from_numpy(
+                scales[li])
+    tm.feature_mat = [torch.from_numpy(f @ f.T) for f in feats]
+
+    m, state = my_method("TRGP", {"label_smoothing": 0.1},
+                         backbone="AlexNet_TRGP", feat=2048)
+    bp = {}
+    for i, conv in enumerate((bb.conv1, bb.conv2, bb.conv3)):
+        bp[f"conv{i}_kernel"] = S.conv_k(conv.weight)
+    bp["fc3_kernel"] = perm_conv(S.lin_k(bb.fc1.weight), 3)
+    bp["fc4_kernel"] = S.lin_k(bb.fc2.weight)
+    for i, bn in enumerate((bb.bn1, bb.bn2, bb.bn3, bb.bn4, bb.bn5)):
+        bp[f"bn{i}"] = {"scale": S.t2n(bn.weight), "bias": S.t2n(bn.bias)}
+    head_k = np.zeros((2048, NUM_CLASS), np.float32)
+    head_k[:, :INIT] = S.lin_k(tm.network.classifiers[0].weight)
+    head_k[:, INIT:INIT + INC] = S.lin_k(tm.network.classifiers[1].weight)
+    params = {
+        "backbone": jax.tree_util.tree_map(jnp.asarray, bp),
+        "head": {"Dense_0": {"kernel": jnp.asarray(head_k),
+                             "bias": jnp.zeros((NUM_CLASS,), jnp.float32)}},
+        "tr_scale": state.params["tr_scale"],
+    }
+    R = m.R_CAP
+    for li in range(5):
+        Up = perm_conv(spaces[li], li)
+        blk = np.zeros((2, LAYER_IN_FLAT[li], R), np.float32)
+        blk[0, :, :r_space] = Up
+        sc = state.mvars["tr_space"][li].at[1].set(jnp.asarray(blk))
+        state.mvars["tr_space"][li] = sc
+        Q = np.broadcast_to(np.eye(R, dtype=np.float32), (2, R, R)).copy()
+        Q[0, :r_space, :r_space] = scales[li]
+        params["tr_scale"][li] = params["tr_scale"][li].at[1].set(
+            jnp.asarray(Q))
+    proj = [jnp.asarray(perm_conv(f, li) @ perm_conv(f, li).T)
+            for li, f in enumerate(feats)]
+    state = install(state, params, {},
+                    {"proj": proj, "tr_space": state.mvars["tr_space"],
+                     "bn_trainable": jnp.asarray(0.0)})
+    state = m.start_task(state, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(74, INIT, INIT + INC)
+    _, _, t_loss = tm.observe(tb)  # backward + in-place projection inside
+
+    def lfn(p):
+        return m.loss(p, state, jb, None)[0]
+
+    j_loss, j_grads = jax.value_and_grad(lfn)(state.params)
+    j_grads = m.transform_grads(j_grads, state)
+    assert_loss_close(t_loss, j_loss, "TRGP task1 smoothed CE via scale")
+
+    mods = tm.layers
+    names = ["conv0_kernel", "conv1_kernel", "conv2_kernel",
+             "fc3_kernel", "fc4_kernel"]
+    for li, (name, mod) in enumerate(zip(names, mods)):
+        tg = S.t2n(mod.weight.grad)
+        jg = np.asarray(j_grads["backbone"][name])
+        if li < 3:
+            jg = jg.transpose(3, 2, 0, 1)  # (kh,kw,c,out) -> (out,c,kh,kw)
+        elif li == 3:  # undo the NHWC-flatten input permutation
+            jg = jg.T.reshape(2048, 2, 2, 256).transpose(0, 3, 1, 2).reshape(
+                2048, 1024)
+        else:
+            jg = jg.T
+        scale = max(np.abs(tg).max(), 1e-8)
+        assert np.abs(tg - jg).max() < 5e-4 * max(1.0, scale), (
+            f"{name}: projected grad mismatch {np.abs(tg - jg).max()}")
+        # trained scale grads (cropped to the space rank)
+        tq = S.t2n(mod.scale_param[0].grad)[:r_space, :r_space]
+        jq = np.asarray(j_grads["tr_scale"][li])[1, 0, :r_space, :r_space]
+        assert np.abs(tq - jq).max() < 5e-4 * max(1.0, np.abs(tq).max()), (
+            f"{name}: scale grad mismatch {np.abs(tq - jq).max()}")
