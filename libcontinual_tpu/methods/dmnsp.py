@@ -6,8 +6,13 @@ Parity with reference core/model/dmnsp.py:
   * adapter gradients are projected onto the accumulated activation basis and
     scaled by a per-layer lambda: down-weights ``g <- (g V)V^T * lam``,
     up-weights ``g <- V(V^T g) * lam`` (dmnsp.py:87-119);
-  * after each task, the per-block adapter-input covariance's singular
-    vectors (minus the dominant one) extend the basis (dmnsp.py:205-228);
+  * the protected stream is the ADAPTER OUTPUT: the reference's
+    ``lora_feature`` is ``adapt_x`` — the bottleneck adapter's scaled
+    output, not its input (transformer.py:1390-1399) — and the covariance
+    summed over one batch of those outputs drives both the basis and the
+    lambdas (dmnsp.py:175-228);
+  * after each task, that covariance's singular vectors (minus the dominant
+    one) extend the basis (dmnsp.py:205-228);
   * before each task, lambda is set from the cosine similarity between the
     new dominant direction and the stored basis:
     ``lam = exp(-mean(top10% cos sim)) * lamda_scale`` (dmnsp.py:175-202);
@@ -16,10 +21,17 @@ Parity with reference core/model/dmnsp.py:
 TPU re-design: the basis is kept as per-block projection matrices
 ``P = V V^T`` (768x768) — the reference's ``(g V)V^T`` equals ``g P`` — so
 the in-graph projection is one matmul per adapter weight and P updates by a
-rank-(d-1) add at task boundaries. Note: the reference's projection loop
-(dmnsp.py:89-99) overwrites the gradient once per stored block, leaving only
-the last block's projection in effect; we apply each block's OWN projection,
-which is the published algorithm.
+rank-(d-1) add at task boundaries.
+
+Documented deviations: (1) the reference's projection double-loop
+(dmnsp.py:89-99) re-projects each adapter gradient through ALL 12 stored
+block bases sequentially (compounding 12 projections and 12 lambda factors
+onto every weight); we apply each block's OWN projection and lambda, the
+published algorithm. (2) the shipped ``dmnsp_vit.yaml`` omits
+``block_layer: ResidualAttentionBlock_MLP`` (its CLIP siblings set it), so
+the upstream ViT variant builds a plain ViT with NO adapters — every
+parameter is then frozen by the 'adapt' filter and the method cannot train
+as shipped; this framework defaults the ViT backbone to adapter blocks.
 """
 
 from __future__ import annotations
@@ -73,6 +85,18 @@ def nsp_extend_basis(basis, counts, covs, depth):
         counts[i] = m
         P[i] = q @ q.T
     return basis, counts, P
+
+
+def adapter_outputs(streams, adapters, scale):
+    """Re-apply each block's bottleneck adapter to its captured input stream
+    to recover the ``lora_feature`` the reference stores — the adapter's
+    scaled OUTPUT (transformer.py:1390-1399)."""
+    outs = []
+    for i, a in enumerate(streams):
+        ad = adapters[f"block_{i}"]
+        h = jax.nn.relu(a @ ad["down"]["kernel"] + ad["down"]["bias"])
+        outs.append((h @ ad["up"]["kernel"] + ad["up"]["bias"]) * scale)
+    return outs
 
 
 def smoothed_ce(logits, labels, weight, class_mask, smoothing):
@@ -160,16 +184,17 @@ class DMNSP(Method):
         return full
 
     def _features(self, params, mvars, x, train, capture=False,
-                  capture_point="attn"):
+                  capture_point="attn", rng=None):
         kw = {"capture_point": capture_point} if capture else {}
+        rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.backbone.apply(
             {"params": self._full_vit_params(params, mvars)},
-            x, train=train, capture=capture, **kw,
+            x, train=train, capture=capture, rngs=rngs, **kw,
         )
         return out
 
     def loss(self, params, state, batch, rng):
-        out = self._features(params, state.mvars, batch["x"], train=True)
+        out = self._features(params, state.mvars, batch["x"], train=True, rng=rng)
         logits = self._head.apply({"params": params["head"]}, out["features"])
         cur_mask = state.seen_mask - state.prev_mask
         ce = smoothed_ce(
@@ -208,12 +233,16 @@ class DMNSP(Method):
         idx = rng.permutation(len(task_data))[:bs]
         im = jnp.asarray(task_data.images[idx])
         x = self.augment(None, im, train=False)
-        # adapters consume ln_2 (adaptmlp input) — protect THAT space
+        # capture each block's raw post-attention residual (the adapter
+        # input), then re-apply the adapter: the protected stream is the
+        # adapter OUTPUT (reference lora_feature, transformer.py:1390-1399)
         out = self._features(
             state.params, state.mvars, x, train=False, capture=True,
             capture_point="mlp",
         )
-        return [np.asarray(jnp.einsum("bsd,bse->de", a, a)) for a in out["attn_inputs"]]
+        scale = getattr(self.backbone, "adapter_scale", 0.1)
+        outs = adapter_outputs(out["attn_inputs"], state.params["adapters"], scale)
+        return [np.asarray(jnp.einsum("bsd,bse->de", o, o)) for o in outs]
 
     def before_task(self, state, task_idx, task_data):
         mvars = dict(state.mvars)

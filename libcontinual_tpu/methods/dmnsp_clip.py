@@ -84,12 +84,16 @@ class DMNSPCLIP(CLIPMethod):
 
         return merge(trainable, frozen)
 
-    def _apply(self, params, mvars, images, tokens, train):
+    def _apply(self, params, mvars, images, tokens, train, rng=None):
         full = self._merge(params["clip"], mvars["frozen"])
-        return self.backbone.apply({"params": full}, images, tokens, train=train)
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.backbone.apply(
+            {"params": full}, images, tokens, train=train, rngs=rngs
+        )
 
     def loss(self, params, state, batch, rng):
-        out = self._apply(params, state.mvars, batch["x"], state.mvars["task_tokens"], True)
+        out = self._apply(params, state.mvars, batch["x"],
+                          state.mvars["task_tokens"], True, rng=rng)
         logits = out["logits_per_image"]
         cur_mask = state.seen_mask - state.prev_mask
         ce = smoothed_ce(
@@ -121,7 +125,11 @@ class DMNSPCLIP(CLIPMethod):
 
     def _visual_covs(self, state, task_data):
         # seeded random batch (reference uses the first batch of a SHUFFLED
-        # loader); adapters consume ln_2 — capture that space
+        # loader); the protected stream is the adapter OUTPUT (reference
+        # lora_feature = adapt_x, transformer.py:1390-1399): capture the raw
+        # post-attention residual and re-apply each block's adapter
+        from libcontinual_tpu.methods.dmnsp import adapter_outputs
+
         bs = min(int(self.config["batch_size"]), len(task_data))
         rng = np.random.RandomState(int(self.config.get("seed", 0)))
         idx = rng.permutation(len(task_data))[:bs]
@@ -135,7 +143,14 @@ class DMNSPCLIP(CLIPMethod):
             ),
             xx=x,
         )
-        return [np.asarray(jnp.einsum("bsd,bse->de", a, a)) for a in out["attn_inputs"]]
+        adapters = {
+            blk: sub["adaptmlp"]
+            for blk, sub in full["visual"].items()
+            if isinstance(sub, dict) and "adaptmlp" in sub
+        }
+        scale = 0.1
+        outs = adapter_outputs(out["attn_inputs"], adapters, scale)
+        return [np.asarray(jnp.einsum("bsd,bse->de", o, o)) for o in outs]
 
     def before_task(self, state, task_idx, task_data):
         from libcontinual_tpu.methods.dmnsp import nsp_lambda

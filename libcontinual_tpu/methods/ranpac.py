@@ -98,7 +98,7 @@ class RanPAC(Method):
     def loss(self, params, state, batch, rng):
         # first-session adapter+head training: plain CE over seen classes
         logits, feats, new_model_state = self.forward(
-            params, state.mvars["model_state"], batch["x"], train=True
+            params, state.mvars["model_state"], batch["x"], train=True, rng=rng
         )
         ce = masked_cross_entropy(
             logits, batch["label"], batch.get("weight"), state.seen_mask

@@ -102,10 +102,15 @@ class SDLoRA(LoRAViTMethod):
         lora = {k: np.array(v) for k, v in params["lora"].items()}
         rng = np.random.RandomState(task_idx)
         r = self._cur_rank
+        # torch Linear kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)),
+        # drawn independently per attention module (transformer.py:298-301)
+        bound = 1.0 / np.sqrt(self.embed_dim)
         for slot in self.lora_slots:
-            a = np.zeros((self.rank, self.embed_dim), np.float32)
-            a[:r] = (rng.randn(r, self.embed_dim) / np.sqrt(self.embed_dim)).astype(np.float32)
             for layer in range(self.depth):
+                a = np.zeros((self.rank, self.embed_dim), np.float32)
+                a[:r] = rng.uniform(
+                    -bound, bound, size=(r, self.embed_dim)
+                ).astype(np.float32)
                 lora[f"A_{slot}"][layer, task_idx] = a
                 lora[f"B_{slot}"][layer, task_idx] = 0.0
         params["lora"] = {k: jnp.asarray(v) for k, v in lora.items()}

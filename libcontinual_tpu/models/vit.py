@@ -78,12 +78,16 @@ class MLP(nn.Module):
 
 class Adapter(nn.Module):
     """Parallel bottleneck adapter (reference petl/adapter.py:14-73):
-    ``scale * up(relu(down(ln_in)))`` added to the MLP output."""
+    ``scale * up(dropout(relu(down(ln_in))))`` added to the MLP output.
+    The bottleneck dropout (reference adapter.py:60, p=0.1 in the adapter
+    transformer blocks) fires only when a ``dropout`` rng collection is
+    provided at apply time — deterministic otherwise."""
 
     dim: int
     bottleneck: int
     scale: float = 0.1
     dtype: Any = jnp.bfloat16
+    dropout_rate: float = 0.1
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +96,10 @@ class Adapter(nn.Module):
             kernel_init=nn.initializers.kaiming_uniform(),
         )(x)
         h = nn.relu(h)
+        if self.dropout_rate > 0.0 and self.has_rng("dropout"):
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, h.shape)
+            h = h * mask.astype(h.dtype) / keep
         h = nn.Dense(
             self.dim, dtype=self.dtype, name="up",
             kernel_init=nn.initializers.zeros_init(),
@@ -635,6 +643,9 @@ def _load_npz_into(params: Dict, raw: Dict):
     ),
 )
 def vitzoo(**kwargs):
+    # reference configs name the torch activation class (act_layer:
+    # QuickGELU, e.g. dmnsp_vit.yaml)
+    act = str(kwargs.get("act_layer", kwargs.get("act", "gelu")))
     return VisionTransformer(
         img_size=int(kwargs.get("img_size", 224)),
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
@@ -642,6 +653,7 @@ def vitzoo(**kwargs):
         moe_experts=int(kwargs.get("moe_experts", kwargs.get("experts_num", 0)) or 0),
         moe_top_k=int(kwargs.get("moe_top_k", 2)),
         dtype=kwargs.get("dtype", jnp.bfloat16),
+        act="quick_gelu" if act.lower() in ("quickgelu", "quick_gelu") else "gelu",
     )
 
 

@@ -1780,3 +1780,193 @@ def test_trgp_loss_scale_and_projection_task1():
         jq = np.asarray(j_grads["tr_scale"][li])[1, 0, :r_space, :r_space]
         assert np.abs(tq - jq).max() < 5e-4 * max(1.0, np.abs(tq).max()), (
             f"{name}: scale grad mismatch {np.abs(tq - jq).max()}")
+
+
+# ---------------------------------------------------------------- DMNSP
+
+
+def test_dmnsp_vit_loss_task1():
+    """reference dmnsp.py:66-84 ViT-variant observe: smoothed CE from the
+    current task's classifier over CLS features of the adapter ViT
+    (ResidualAttentionBlock_MLP, transformer.py:1338-1400). The shipped
+    dmnsp_vit.yaml omits block_layer so the upstream ViT variant has no
+    adapters and cannot train; this test builds the adapter block the CLIP
+    siblings configure — repairing the same __init__ positional shift the
+    MoE block suffers (norm_layer_eps swallows attn_mask, PARITY.md)."""
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_dm = _refload.ref_module("core.model.dmnsp")
+
+    torch.manual_seed(81)
+    base_init = ref_tf.ResidualAttentionBlock.__init__
+
+    def shifted_init(self, *a, **kw):
+        if len(a) == 13:
+            a = a[:11] + (1e-5,) + a[11:]
+        return base_init(self, *a, **kw)
+
+    ref_tf.ResidualAttentionBlock.__init__ = shifted_init
+    try:
+        net = ref_vit.ViTZoo(
+            pretrained=False, block_layer="ResidualAttentionBlock_MLP",
+            act_layer=ref_tf.QuickGELU)
+    finally:
+        ref_tf.ResidualAttentionBlock.__init__ = base_init
+    g = torch.Generator().manual_seed(82)
+    with torch.no_grad():
+        for blk in net.feat.transformer.blocks:
+            for lin in (blk.adaptmlp.down_proj, blk.adaptmlp.up_proj):
+                lin.weight.uniform_(-0.05, 0.05, generator=g)
+                lin.bias.uniform_(-0.05, 0.05, generator=g)
+    for mod in net.modules():  # documented eps deviation (PARITY.md)
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.eval()  # adapter dropout draws can't be aligned (rng=None on my side)
+
+    tm = ref_dm.DMNSP(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        label_smoothing=0.1, lamda_scale=1.0, prompt_template="a {}",
+        embd_dim=768)
+    tm._cur_task_id = 1
+    tm._known_classes = INIT
+    # observe's post-backward projection loop needs a populated basis
+    # (values irrelevant here — we compare the pre-projection loss)
+    tm.visual_U = [torch.eye(768)[:, :1] for _ in range(12)]
+    with torch.no_grad():
+        tm.classifier_pool[1].weight.normal_(0, 0.1, generator=g)
+        tm.classifier_pool[1].bias.normal_(0, 0.1, generator=g)
+
+    m, state = my_method(
+        "DMNSP", {"label_smoothing": 0.1, "embd_dim": 768},
+        backbone="ViTZoo", feat=768,
+        backbone_kwargs={"adapter_dim": 64, "act_layer": "QuickGELU"})
+    vp = S.sync_vit(net.feat, 12)
+    adapters, frozen = {}, {}
+    for blk_name, sub in vp.items():
+        if blk_name.startswith("block_"):
+            i = int(blk_name.split("_")[1])
+            tb = net.feat.transformer.blocks[i]
+            adapters[blk_name] = {
+                "down": {"kernel": jnp.asarray(S.lin_k(tb.adaptmlp.down_proj.weight)),
+                         "bias": jnp.asarray(S.t2n(tb.adaptmlp.down_proj.bias))},
+                "up": {"kernel": jnp.asarray(S.lin_k(tb.adaptmlp.up_proj.weight)),
+                       "bias": jnp.asarray(S.t2n(tb.adaptmlp.up_proj.bias))},
+            }
+        frozen[blk_name] = jax.tree_util.tree_map(jnp.asarray, sub)
+    kern = np.zeros((768, NUM_CLASS), np.float32)
+    bias = np.zeros((NUM_CLASS,), np.float32)
+    kern[:, INIT:INIT + INC] = S.lin_k(tm.classifier_pool[1].weight)
+    bias[INIT:INIT + INC] = S.t2n(tm.classifier_pool[1].bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(kern),
+                             "bias": jnp.asarray(bias)}},
+        "adapters": adapters,
+    }
+    state1 = install(state, params, {}, {"frozen": frozen})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(83)
+    x = rng.randn(3, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb_ = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb_)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "DMNSP ViT task1 smoothed CE", tol=1e-3)
+
+
+# ---------------------------------------------------------------- SD-LoRA
+
+
+def test_sdlora_loss_task1():
+    """reference sd_lora.py:82-95 observe at task 1 through
+    MultiHeadAttention_SDLoRA (transformer.py:276-357): the CURRENT task's
+    LoRA at raw scale mag[-1], every PAST task as a normalized direction
+    (B A)/(|B||A|) scaled by (mag_i + assimilated_i), CE on the
+    current-task slice of the grown classifier."""
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_sd = _refload.ref_module("core.model.sd_lora")
+
+    R = 4
+    torch.manual_seed(91)
+    net = ref_vit.ViTZoo(pretrained=False,
+                         attn_layer="MultiHeadAttention_SDLoRA", lora_rank=R)
+    tm = ref_sd.SD_LoRA(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        init_mag=1.0, rank_reduction=[False, 0, 0, 0, 0],
+        knowledge_dist=[False, 0.0], embd_dim=768)
+    tm.before_task(0, None, None, None)
+    tm.after_task(0, None, None, None)
+    tm.before_task(1, None, None, None)
+
+    g = torch.Generator().manual_seed(92)
+    with torch.no_grad():
+        for mod in tm.attention_modules:
+            for t in range(2):
+                for lin in (mod.lora_A_q_list[t], mod.lora_B_q_list[t],
+                            mod.lora_A_v_list[t], mod.lora_B_v_list[t]):
+                    lin.weight.uniform_(-0.05, 0.05, generator=g)
+            mod.assimilated_mag_lora_q[0] += 0.3
+            mod.assimilated_mag_lora_v[0] -= 0.2
+        # one shared magnitude list across modules (sd_lora.py:121-124)
+        tm.attention_modules[0].mag_lora[0].fill_(1.2)
+        tm.attention_modules[0].mag_lora[1].fill_(0.8)
+        tm._network.classifier.weight.normal_(0, 0.1, generator=g)
+        tm._network.classifier.bias.normal_(0, 0.1, generator=g)
+    for mod in net.modules():
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.eval()
+
+    m, state = my_method("SD_LoRA", {"init_mag": 1.0, "rank": R,
+                                     "embd_dim": 768},
+                         backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    L, T, d = 12, TASKS, 768
+    lora = {k: np.zeros(np.asarray(v).shape, np.float32)
+            for k, v in state.params["lora"].items()}
+    assim_q = np.zeros((L, T), np.float32)
+    assim_v = np.zeros((L, T), np.float32)
+    mag = np.zeros((L, T), np.float32)
+    for li, mod in enumerate(tm.attention_modules):
+        for t in range(2):
+            lora["A_q"][li, t] = S.t2n(mod.lora_A_q_list[t].weight)
+            lora["B_q"][li, t] = S.t2n(mod.lora_B_q_list[t].weight)
+            lora["A_v"][li, t] = S.t2n(mod.lora_A_v_list[t].weight)
+            lora["B_v"][li, t] = S.t2n(mod.lora_B_v_list[t].weight)
+            mag[li, t] = float(mod.mag_lora[t])
+        assim_q[li, 0] = float(mod.assimilated_mag_lora_q[0])
+        assim_v[li, 0] = float(mod.assimilated_mag_lora_v[0])
+    kern = np.zeros((768, NUM_CLASS), np.float32)
+    bias = np.zeros((NUM_CLASS,), np.float32)
+    w = tm._network.classifier
+    kern[:, :INIT + INC] = S.lin_k(w.weight)
+    bias[:INIT + INC] = S.t2n(w.bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(kern),
+                             "bias": jnp.asarray(bias)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+        "mag": jnp.asarray(mag),
+    }
+    active = (np.arange(T) < 2).astype(np.float32)
+    onehot = (np.arange(T) == 1).astype(np.float32)
+    state1 = install(state, params, {},
+                     {"frozen": frozen, "active": jnp.asarray(active),
+                      "train_onehot": jnp.asarray(onehot),
+                      "assim_q": jnp.asarray(assim_q),
+                      "assim_v": jnp.asarray(assim_v)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(93)
+    x = rng.randn(3, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb_ = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    tm._known_classes = INIT
+    _, _, t_loss = tm.observe(tb_)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "SD-LoRA task1 decoupled-dir CE",
+                      tol=1e-3)
