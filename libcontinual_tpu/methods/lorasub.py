@@ -72,9 +72,24 @@ class LoRAsubDRS(LoRAViTMethod):
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
-        self.margin = float(self.kwargs.get("margin", 1.0))
+        # reference kwarg names: margin_inter / lambada / fc_lrate
+        # (lora_sub.py:281-283, zz_LoRA-Sub-DRS configs)
+        self.margin = float(
+            self.kwargs.get("margin_inter", self.kwargs.get("margin", 1.0))
+        )
+        # the DRS-Adam reserves basis with thres=0.99 per param group
+        # (lora_sub.py:418-419)
         self.thres = float(self.kwargs.get("thres", 0.99))
-        self.triplet_weight = float(self.kwargs.get("triplet_weight", 1.0))
+        self.triplet_weight = float(
+            self.kwargs.get("lambada", self.kwargs.get("triplet_weight", 1.0))
+        )
+        # the classifier trains at its own lr (fc_lrate, lora_sub.py:413-421);
+        # realized as a per-group scale on the head's Adam updates
+        base_lr = float(
+            (self.config.get("optimizer", {}).get("kwargs") or {}).get("lr", 1e-3)
+        )
+        fc_lr = float(self.kwargs.get("fc_lrate", base_lr))
+        self._head_lr_scale = fc_lr / max(base_lr, 1e-12)
         self.tx = optax.scale_by_adam()  # DRS projection composes on top
         self.init_tx = None
 
@@ -114,6 +129,11 @@ class LoRAsubDRS(LoRAViTMethod):
             projB = jnp.einsum("lde,lter->ltdr", state.mvars["drs"], B)
             lora[f"B_{slot}"] = jnp.where(on > 0, projB, B)
         updates["lora"] = lora
+        # per-group classifier lr (reference fc_lrate, lora_sub.py:413-421)
+        if self._head_lr_scale != 1.0:
+            updates["head"] = jax.tree_util.tree_map(
+                lambda u: u * self._head_lr_scale, updates["head"]
+            )
         return updates
 
     def cov_features(self, state, x):

@@ -1970,3 +1970,105 @@ def test_sdlora_loss_task1():
     j_loss, _ = m.loss(state1.params, state1, jb, None)
     assert_loss_close(t_loss, j_loss, "SD-LoRA task1 decoupled-dir CE",
                       tol=1e-3)
+
+
+# ---------------------------------------------------------------- LoRA-Sub
+
+
+def test_lorasub_loss_task1():
+    """reference lora_sub.py:293-311 observe at task 1 through
+    MultiHeadAttention_LoRA_Sub (transformer.py:359-430): k/v carry the
+    SUM of saved past deltas + the current task's B A; loss is CE on the
+    current head + lambada * augmented triplet (hardest pos/neg with
+    normalized old prototypes as extra negatives, lora_sub.py:27-68)."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_ls = _refload.ref_module("core.model.lora_sub")
+
+    R, d = 4, 768
+    torch.manual_seed(101)
+    net = ref_vit.ViTZoo(pretrained=False,
+                         attn_layer="MultiHeadAttention_LoRA_Sub", lora_rank=R)
+    tm = ref_ls.LoRAsub_DRS(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        fc_lrate=0.002, margin_inter=1.0, lambada=0.05, embd_dim=768)
+    tm._network.update_fc()
+    tm._network.update_fc()  # _cur_task_id = 1
+    tm._cur_task = 1
+    tm._known_classes = INIT
+    tm._total_classes = INIT + INC
+
+    g = torch.Generator().manual_seed(102)
+    rng = np.random.RandomState(103)
+    # task-0 factors define the saved past delta; task-1 factors train now
+    A0, B0, A1, B1 = {}, {}, {}, {}
+    for li, mod in enumerate(tm.attention_modules):
+        mod.init_param()  # apply_lora = True
+        for slot in ("k", "v"):
+            A0[li, slot] = rng.uniform(-0.05, 0.05, (R, d)).astype(np.float32)
+            B0[li, slot] = rng.uniform(-0.05, 0.05, (d, R)).astype(np.float32)
+            A1[li, slot] = rng.uniform(-0.05, 0.05, (R, d)).astype(np.float32)
+            B1[li, slot] = rng.uniform(-0.05, 0.05, (d, R)).astype(np.float32)
+        with torch.no_grad():
+            mod.prev_k_weight.copy_(
+                torch.from_numpy(B0[li, "k"] @ A0[li, "k"]))
+            mod.prev_v_weight.copy_(
+                torch.from_numpy(B0[li, "v"] @ A0[li, "v"]))
+            mod.lora_A_k.weight.copy_(torch.from_numpy(A1[li, "k"]))
+            mod.lora_B_k.weight.copy_(torch.from_numpy(B1[li, "k"]))
+            mod.lora_A_v.weight.copy_(torch.from_numpy(A1[li, "v"]))
+            mod.lora_B_v.weight.copy_(torch.from_numpy(B1[li, "v"]))
+    protos = (rng.randn(INIT, d) * 0.5).astype(np.float32)
+    tm._protos = [protos[i] for i in range(INIT)]
+    with torch.no_grad():
+        tm._network.classifier_pool[1].weight.normal_(0, 0.1, generator=g)
+        tm._network.classifier_pool[1].bias.normal_(0, 0.1, generator=g)
+    for mod in net.modules():
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.eval()
+
+    m, state = my_method(
+        "LoRAsub_DRS",
+        {"margin_inter": 1.0, "lambada": 0.05, "embd_dim": 768, "rank": R,
+         "fc_lrate": 0.002},
+        backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    lora = {k: np.zeros(np.asarray(v).shape, np.float32)
+            for k, v in state.params["lora"].items()}
+    for li in range(12):
+        for slot in ("k", "v"):
+            lora[f"A_{slot}"][li, 0] = A0[li, slot]
+            lora[f"B_{slot}"][li, 0] = B0[li, slot]
+            lora[f"A_{slot}"][li, 1] = A1[li, slot]
+            lora[f"B_{slot}"][li, 1] = B1[li, slot]
+    kern = np.zeros((768, NUM_CLASS), np.float32)
+    bias = np.zeros((NUM_CLASS,), np.float32)
+    kern[:, INIT:INIT + INC] = S.lin_k(tm._network.classifier_pool[1].weight)
+    bias[INIT:INIT + INC] = S.t2n(tm._network.classifier_pool[1].bias)
+    pvec = np.zeros((NUM_CLASS, 768), np.float32)
+    pvec[:INIT] = protos
+    pvalid = (np.arange(NUM_CLASS) < INIT).astype(np.float32)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(kern),
+                             "bias": jnp.asarray(bias)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+    }
+    T = TASKS
+    state1 = install(state, params, {},
+                     {"frozen": frozen,
+                      "active": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+                      "train_onehot": jnp.asarray((np.arange(T) == 1).astype(np.float32)),
+                      "protos": jnp.asarray(pvec),
+                      "proto_valid": jnp.asarray(pvalid)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = (rng.randn(5, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(5,)).astype(np.int64)
+    y[0] = y[1]  # guarantee at least one positive pair
+    tb_ = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb_)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "LoRA-Sub task1 CE + lambada*ATL",
+                      tol=1e-3)
