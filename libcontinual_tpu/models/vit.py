@@ -379,6 +379,7 @@ class VisionTransformer(nn.Module):
         capture: bool = False,
         capture_point: str = "attn",  # "attn" (ln_1) or "mlp" (ln_2)
         dual_delta_fn: Optional[Any] = None,
+        num_blocks: Optional[int] = None,
     ):
         """``dual_delta_fn``: enables the dual-stream ("Bi") mode of the
         reference's ResidualAttentionBiBlock + Transformer_Proj (reference
@@ -432,7 +433,10 @@ class VisionTransformer(nn.Module):
                 nn.initializers.uniform(scale=0.1),
                 (self.depth, self.vpt_len, self.embed_dim),
             )
-        for i in range(self.depth):
+        # partial-depth forward (CL-LoRA's 6-block general-stream KD,
+        # reference transformer.py forward_general_cls)
+        run_depth = self.depth if num_blocks is None else int(num_blocks)
+        for i in range(run_depth):
             pkv = prefix_kv.get(i) if prefix_kv else None
             delta = qkv_deltas.get(i) if qkv_deltas else None
             block = ViTBlock(

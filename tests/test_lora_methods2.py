@@ -24,9 +24,12 @@ def test_cl_lora(tiny_config):
     tr = Trainer(cfg)
     res = tr.train_loop()
     assert np.isfinite(res["acc_table"]).all()
-    # shared stream trained (nonzero B), block weights exist
-    assert float(np.abs(np.asarray(tr.state.params["lora"]["sharedB_q"])).sum()) > 0
-    assert tr.state.params["block_w"].shape[1] == 2
+    # general (shared) stream trained: nonzero up factors
+    assert float(np.abs(np.asarray(tr.state.params["gen_up_q"])).sum()) > 0
+    # block weights: (3, n_specific) like the reference's (3, 6)
+    assert tr.state.params["block_w"].shape[0] == 3
+    # prototype bank filled for all seen classes
+    assert float(np.asarray(tr.state.mvars["proto_valid"]).sum()) > 0
 
 
 def test_minflora(tiny_config):

@@ -2072,3 +2072,163 @@ def test_lorasub_loss_task1():
     j_loss, _ = m.loss(state1.params, state1, jb, None)
     assert_loss_close(t_loss, j_loss, "LoRA-Sub task1 CE + lambada*ATL",
                       tol=1e-3)
+
+
+# ---------------------------------------------------------------- CL-LoRA
+
+
+def test_cl_lora_loss_task1(monkeypatch):
+    """reference cl_lora.py:218-257 observe at task 1: CE on the fresh
+    per-task cosine proxy head through the general+specific adapter ViT
+    (block weights scaling specific q/v, transformer.py:495-504) + 1e-4 *
+    block-weight orthogonality. The KD term is verified separately against
+    an intended-semantics torch replication of forward_general_cls (the
+    upstream one feeds [B,N,C] to [N,B,C] blocks — PARITY.md). The
+    reference hardcodes '_device': 'cuda:0' (transformer.py:2421), so
+    Module.to('cuda*') is shimmed to a no-op."""
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_cl = _refload.ref_module("core.model.cl_lora")
+
+    orig_to = torch.nn.Module.to
+
+    def safe_to(self, *a, **k):
+        if a and isinstance(a[0], (str, torch.device)) and str(a[0]).startswith("cuda"):
+            return self
+        return orig_to(self, *a, **k)
+
+    monkeypatch.setattr(torch.nn.Module, "to", safe_to)
+
+    R, d = 4, 768
+    torch.manual_seed(111)
+    net = ref_vit.ViT_CL_LoRA(
+        pretrained=False, attn_layer="MultiHeadAttention_CL_LoRA",
+        transformer_layer="Transformer_CL_LoRA", lora_rank=R,
+        norm_layer_eps=1e-6)
+    tm = ref_cl.CL_LoRA(net, DEV, init_cls_num=INIT, inc_cls_num=INC,
+                        task_num=TASKS)
+    tm.before_task(0, None, None, None)
+    tm._network.add_fc()
+    tm.before_task(1, None, None, None)
+    assert tm._known_classes == INIT and tm._total_classes == INIT + INC
+
+    rng = np.random.RandomState(112)
+    feat = net.feat
+    # randomize all live + teacher adapters (down = lora_B, up = lora_A)
+    def rand_pair(mod):
+        with torch.no_grad():
+            mod.lora_B.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (R, d)).astype(np.float32)))
+            mod.lora_A.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (d, R)).astype(np.float32)))
+
+    for lst in (feat.cur_adapter, feat.old_adapter_list[0]):
+        for pos in range(12):
+            rand_pair(lst[pos][0])
+            rand_pair(lst[pos][2])
+    with torch.no_grad():
+        feat.block_weight.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, (3, 6)).astype(np.float32)))
+        feat.block_weight_list[0].copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, (3, 6)).astype(np.float32)))
+        tm._network.proxy_fc.weight.copy_(torch.from_numpy(
+            rng.uniform(-0.1, 0.1, (INC, d)).astype(np.float32)))
+        tm._network.proxy_fc.sigma.fill_(1.3)
+    for mod in net.modules():
+        if hasattr(mod, "eps"):
+            mod.eps = 1e-6
+    net.eval()
+
+    def build_my(kd_ratio):
+        m, state = my_method(
+            "CL_LoRA", {"rank": R, "kd_ratio": kd_ratio},
+            backbone="ViTZoo", feat=768)
+        frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+        lora = {k: np.zeros(np.asarray(v).shape, np.float32)
+                for k, v in state.params["lora"].items()}
+        gen = {}
+        hist = {}
+        for slot, si in (("q", 0), ("v", 2)):
+            gd = np.zeros((6, R, d), np.float32)
+            gu = np.zeros((6, d, R), np.float32)
+            hd = np.zeros((6, R, d), np.float32)
+            hu = np.zeros((6, d, R), np.float32)
+            for l in range(12):
+                cur = feat.cur_adapter[l][si]
+                if l < 6:
+                    gd[l] = S.t2n(cur.lora_B.weight)
+                    gu[l] = S.t2n(cur.lora_A.weight)
+                    old = feat.old_adapter_list[0][l][si]
+                    hd[l] = S.t2n(old.lora_B.weight)
+                    hu[l] = S.t2n(old.lora_A.weight)
+                else:
+                    lora[f"A_{slot}"][l, 1] = S.t2n(cur.lora_B.weight)
+                    lora[f"B_{slot}"][l, 1] = S.t2n(cur.lora_A.weight)
+            gen[f"gen_down_{slot}"] = jnp.asarray(gd)
+            gen[f"gen_up_{slot}"] = jnp.asarray(gu)
+            hist[f"hist_gen_down_{slot}"] = state.mvars[
+                f"hist_gen_down_{slot}"].at[0].set(jnp.asarray(hd))
+            hist[f"hist_gen_up_{slot}"] = state.mvars[
+                f"hist_gen_up_{slot}"].at[0].set(jnp.asarray(hu))
+        kern = np.zeros((d, NUM_CLASS), np.float32)
+        kern[:, INIT:INIT + INC] = S.lin_k(tm._network.proxy_fc.weight)
+        params = {
+            "head": {"kernel": jnp.asarray(kern),
+                     "sigma": jnp.asarray(1.3, jnp.float32)},
+            "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+            "block_w": jnp.asarray(S.t2n(feat.block_weight)),
+            **gen,
+        }
+        bwh = state.mvars["block_w_hist"].at[0].set(
+            jnp.asarray(S.t2n(feat.block_weight_list[0])))
+        T = TASKS
+        state = install(state, params, {}, {
+            "frozen": frozen,
+            "active": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+            "train_onehot": jnp.asarray((np.arange(T) == 1).astype(np.float32)),
+            "block_w_hist": bwh, "n_hist": jnp.asarray(1.0, jnp.float32),
+            **hist,
+        })
+        return m, m.start_task(state, 1, INIT, INIT + INC)
+
+    x = (rng.randn(3, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb_ = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+
+    # reference observe runs its own KD optimizer step; give it one and
+    # compare the RETURNED loss = CE + 1e-4 * ortho
+    tm.set_optim(torch.optim.Adam(
+        [p for p in tm._network.parameters() if p.requires_grad], lr=0.0))
+    _, _, t_loss = tm.observe(tb_)
+    m0, state0 = build_my(kd_ratio=0.0)
+    j_loss0, _ = m0.loss(state0.params, state0, jb, None)
+    assert_loss_close(t_loss, j_loss0, "CL-LoRA task1 CE + ortho", tol=1e-3)
+
+    # KD term vs an intended-semantics torch replication of
+    # forward_general_cls (proper [N,B,C] block layout)
+    with torch.no_grad():
+        xb = torch.from_numpy(x)
+        B = xb.shape[0]
+        h = feat.patch_embed(xb)
+        cls_tok = feat.cls_token.expand(B, -1, -1)
+        h = torch.cat((cls_tok, h), dim=1) + feat.pos_embed
+        h_t = h.clone()
+        h = h.permute(1, 0, 2)
+        h_t = h_t.permute(1, 0, 2)
+        for j in range(6):
+            blk = feat.transformer.blocks[j]
+            h = blk(h, adapt=feat.cur_adapter[j], prompt=None,
+                    rank_prompt=None, block_weight=None)
+            h_t = blk(h_t, adapt=feat.old_adapter_list[0][j], prompt=None,
+                      rank_prompt=None, block_weight=None)
+        f_stu = feat.norm(h.permute(1, 0, 2))[:, 0, :]
+        f_tea = feat.norm(h_t.permute(1, 0, 2))[:, 0, :]
+        l_stu = tm._network.proxy_fc(f_stu)["logits"]
+        l_tea = tm._network.proxy_fc(f_tea)["logits"]
+        t_kd = ref_cl._KD_loss(l_stu, l_tea, T=2)
+    m5, state5 = build_my(kd_ratio=5.0)
+    j_loss5, _ = m5.loss(state5.params, state5, jb, None)
+    assert_loss_close(5.0 * t_kd, j_loss5 - j_loss0,
+                      "CL-LoRA general-stream KD (intended layout)", tol=2e-3)
