@@ -108,7 +108,23 @@ def _stub_timm(torch, nn):
     layers.Mlp = Mlp
     layers.trunc_normal_ = trunc_normal_
     layers.lecun_normal_ = lecun_normal_
-    registry.register_model = lambda fn=None, **kw: (fn if fn is not None else (lambda f: f))
+    _model_registry = {}
+
+    def register_model(fn=None, **kw):
+        if fn is None:
+            return lambda f: register_model(f)
+        _model_registry[fn.__name__] = fn
+        return fn
+
+    registry.register_model = register_model
+
+    def create_model(model_name, pretrained=False, **kwargs):
+        """timm.create_model over the factories the reference registered
+        (vit_dap.py:1151-1169 routes through this)."""
+        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        return _model_registry[model_name](pretrained=pretrained, **kwargs)
+
+    registry.create_model = create_model
 
     def named_apply(fn, module, name="", depth_first=True, include_root=False):
         if not depth_first and include_root:
@@ -152,6 +168,8 @@ def _stub_timm(torch, nn):
 
     timm.models = models
     timm.data = data
+    models.create_model = create_model
+    timm.create_model = create_model
     models.vision_transformer = vt
     models.layers = layers
     models.registry = registry

@@ -2232,3 +2232,106 @@ def test_cl_lora_loss_task1(monkeypatch):
     j_loss5, _ = m5.loss(state5.params, state5, jb, None)
     assert_loss_close(5.0 * t_kd, j_loss5 - j_loss0,
                       "CL-LoRA general-stream KD (intended layout)", tol=2e-3)
+
+
+# ---------------------------------------------------------------- DAP
+
+
+def test_dap_loss_task2():
+    """reference dap.py:61-117 on the executing vit_dap backbone
+    (vit_dap.py:453-520): task prompts concatenated BEFORE pos_embed (the
+    pos table has 25 extra prompt slots, vit_dap.py:380-383), head_type
+    'prompt' = mean over the prompt positions, CE masked to the current
+    task's classes.  The anchoring terms (dap.py:86-103) are dead code in
+    the executed reference (trainer.py:594-604 never passes train_gprompt);
+    this framework composes them per the paper — here every piece of the
+    composite loss is computed by the reference's own code:
+    ce_t/ce_g via observe(), pla/sta/center via the reference staticmethods
+    cal_latestsimilarity_loss/cal_center/cal_similarity_loss (PARITY.md).
+    The prompt slice of pos_embed is zeroed on the torch side so prompt
+    values are directly comparable (this framework folds that frozen
+    additive offset into the prompt parameter)."""
+    ref_vd = _refload.ref_module("core.model.backbone.vit_dap")
+    ref_dap = _refload.ref_module("core.model.dap")
+
+    L, K = 5, 5
+    P = L * K
+    torch.manual_seed(77)
+    net = ref_vd.vit_pt_imnet_dap(
+        pretrained=False, model_name="vit_base_patch16_224_dap",
+        num_classes=NUM_CLASS, drop=0.0, drop_path=0.0, length=L,
+        embedding_key="cls", prompt_key_init="uniform", prompt_pool=True,
+        prompt_key=True, size=10, top_k=K, batchwise_prompt=True,
+        head_type="prompt", use_prompt_mask=False)
+    counts = [40, 10, 20]
+    tm = ref_dap.DAP(
+        net, feat_dim=768, num_class=NUM_CLASS, train_mask=True,
+        task_inc=False, pull_constraint=True, pull_constraint_coeff=0.1,
+        freeze=["blocks", "patch_embed", "cls_token", "norm", "pos_embed"],
+        **REF_KW)
+    tm.task_idx = 2
+    tm.task_data_count = list(counts)
+    with torch.no_grad():
+        net.pos_embed[0, 1:1 + P] = 0.0  # see docstring
+    net.eval()
+
+    m, state = my_method(
+        "DAP", {"length": L, "top_k": K, "feat_dim": 768},
+        backbone="ViTZoo", feat=768)
+    frozen_t = S.sync_inflora_vit(net, 12)
+    pos = frozen_t["pos_embed"]
+    frozen_t["pos_embed"] = np.concatenate(
+        [pos[:, :1], pos[:, 1 + P:]], axis=1)
+    frozen = jax.tree_util.tree_map(jnp.asarray, frozen_t)
+    tp = np.stack([S.t2n(net.prompt.taskprompt[t]).reshape(P, 768)
+                   for t in range(TASKS)])
+    params = {
+        "head": {"Dense_0": {"kernel": S.lin_k(net.head.weight),
+                             "bias": S.t2n(net.head.bias)}},
+        "prompt": {
+            "taskprompt": jnp.asarray(tp),
+            "generalprompt": jnp.asarray(
+                S.t2n(net.prompt.generalprompt).reshape(P, 768)),
+        },
+    }
+    state = install(state, params, {}, {"frozen": frozen})
+    state = m.start_task(state, 2, INIT + INC, NUM_CLASS)
+    for t, n in enumerate(counts):
+        state = m.before_task(state, t, np.zeros(n))
+
+    rng = np.random.RandomState(78)
+    x = (rng.randn(3, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT + INC, NUM_CLASS, size=(3,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+
+    # (1) the reference's EXECUTED loss: task-prompted current-task CE
+    _, _, t_ce_t = tm.observe(tb)
+    from libcontinual_tpu.core.method import masked_cross_entropy
+
+    j_logits = m.forward_logits(state.params, state, jb["x"], train=True)
+    mask = m.cur_class_mask(state)
+    j_masked = jnp.where(mask[None, :] > 0, j_logits, -jnp.inf)
+    j_ce_t = masked_cross_entropy(j_masked, jb["label"], None)
+    assert_loss_close(t_ce_t, j_ce_t, "DAP executed-path task CE", tol=1e-3)
+
+    # (2) composite intended-semantics loss, every term from reference code
+    _, _, t_ce_g = tm.observe(tb, gen=True)
+    pla = ref_dap.DAP.cal_latestsimilarity_loss(net, task_id=2)["similarity"]
+    # task_data_count=None crashes upstream (weights2 unbound, dap.py:179)
+    center = ref_dap.DAP.cal_center(net, task_id=1,
+                                    task_data_count=counts[:1],
+                                    prompt_center=None)
+    center = ref_dap.DAP.cal_center(net, task_id=2,
+                                    task_data_count=counts[:2],
+                                    prompt_center=center)
+    sta = ref_dap.DAP.cal_similarity_loss(net, task_id=2,
+                                          prompt_center=center)["avg_similarity"]
+    alpha = (counts[-1] - min(counts)) / (max(counts) - min(counts) + 1e-10)
+    expected = (float(t_ce_t) + float(t_ce_g)
+                + alpha * float(sta) + (1 - alpha) * float(pla))
+    assert abs(float(state.mvars["alpha"]) - alpha) < 1e-6
+    j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(2))
+    assert_loss_close(expected, j_loss, "DAP composite CE+CE_g+anchors",
+                      tol=1e-3)
