@@ -2335,3 +2335,167 @@ def test_dap_loss_task2():
     j_loss, _ = m.loss(state.params, state, jb, jax.random.PRNGKey(2))
     assert_loss_close(expected, j_loss, "DAP composite CE+CE_g+anchors",
                       tol=1e-3)
+
+
+# ---------------------------------------------------------------- API
+
+
+def test_api_loss_and_projected_grads_task1():
+    """reference api.py:70-105 at task 1 with live input expansion:
+    stage-0 observe = CE on the current task head through AlexNet_API
+    whose layers were widened input-side (alexnet.py:160-232: extra
+    channels are learnable mixes ``x @ w`` of the base input), then
+    per-layer DualGPM gradient projection applied ONLY to the
+    pre-expansion input columns (``grad[:, :expand]``, api.py:92-99;
+    expand == base because self.expand is built in after_task(0), before
+    any widening).  'remove' layers subtract the span component; 'retain'
+    layers multiply by the precomputed ZERO feature_mat (api.py:293-297).
+    Compares the loss scalar and all five projected kernel gradients,
+    including the (free) gradients of the new columns and of the mix
+    matrices' kernel columns."""
+    ref_alex = _refload.ref_module("core.model.backbone.alexnet")
+    ref_api = _refload.ref_module("core.model.api")
+    torch.manual_seed(23)
+    net = ref_alex.AlexNet_API()
+    tm = ref_api.API(net, DEV, **{k: v for k, v in REF_KW.items()
+                                  if k != "device"})
+    BASE = [3, 64, 128, 1024, 2048]
+    KS = [4, 3, 2, 1, 1]
+    sizes = [2, 3, 1, 4, 5]
+    rng = np.random.RandomState(24)
+    ws_t = []
+    for base, n in zip(BASE, sizes):
+        u, _ = np.linalg.qr(rng.randn(base, n))
+        ws_t.append(torch.from_numpy(u.astype(np.float32)))
+    net.expand(sizes, ws_t)
+    tm.layers = [net.conv1, net.conv2, net.conv3, net.fc1, net.fc2]
+    tm.cur_task = 1
+    tm._known_classes = INIT
+    tm.per_layer_retain = [0.0] * 5
+    tm.expand = [np.array([c]) for c in BASE]
+    ptype = ["remove", "retain", "remove", "retain", "remove"]
+    tm.project_type = list(ptype)
+    feats_t, proj_base = [], []
+    for base, k, pt in zip(BASE, KS, ptype):
+        d = base * k * k
+        if pt == "remove":
+            u, _ = np.linalg.qr(rng.randn(d, min(8, d)))
+            P = (u @ u.T).astype(np.float32)
+        else:
+            P = np.zeros((d, d), np.float32)
+        proj_base.append(P)
+        feats_t.append(torch.from_numpy(P))
+    tm.feature_mat = feats_t
+    tm.network.eval()  # dropout off; BN still uses batch stats
+
+    m, state = my_method("API", {}, feat=2048)
+    ks_slot = m.backbone.k_slot
+    E = m.backbone.extra_in
+    full_cs = [b + E for b in BASE]
+
+    def cmap(li, ci):  # torch input-channel/feature -> my slab channel
+        return ci if ci < BASE[li] else BASE[li] + (ci - BASE[li])
+
+    def row_map(li, n_extra):
+        """torch flat kernel-row index -> my flat index, active rows."""
+        k, fc = KS[li], full_cs[li]
+        rows_t, rows_m = [], []
+        for ci in range(BASE[li] + n_extra):
+            for kk in range(k * k):
+                rows_t.append(ci * k * k + kk)
+                if li < 3:
+                    rows_m.append(kk * fc + cmap(li, ci))
+                else:
+                    if li == 3 and ci < 1024:
+                        rows_m.append(int(_alex_perms()[3][ci]))
+                    else:
+                        rows_m.append(cmap(li, ci))
+        return np.asarray(rows_t), np.asarray(rows_m)
+
+    # ---- params sync: kernels (expanded), bn, ws slabs, head
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    bb = jax.tree_util.tree_map(np.array, dict(params["backbone"]))
+    convs = [net.conv1, net.conv2, net.conv3]
+    for li in range(3):
+        w = S.t2n(convs[li].weight)  # (out, base+n, kh, kw)
+        kern = bb[f"conv{li}_kernel"]  # (kh, kw, full_c, out)
+        for ci in range(w.shape[1]):
+            kern[:, :, cmap(li, ci), :] = np.transpose(w[:, ci], (1, 2, 0))
+        bb[f"conv{li}_kernel"] = kern
+    for li, fc_t in zip((3, 4), (net.fc1, net.fc2)):
+        w = S.lin_k(fc_t.weight)  # (base+n, out) torch row order
+        kern = bb[f"fc{li}_kernel"]
+        rows_t, rows_m = row_map(li, sizes[li])
+        kern[rows_m] = w[rows_t]
+        bb[f"fc{li}_kernel"] = kern
+    for i, bn in enumerate([net.bn1, net.bn2, net.bn3, net.bn4, net.bn5]):
+        bb[f"bn{i}"] = {"scale": S.t2n(bn.weight), "bias": S.t2n(bn.bias)}
+    perm_fc1 = _alex_perms()[3]
+    for li in range(5):
+        slab = np.array(bb[f"ws{li}"])
+        wnp = S.t2n(ws_t[li]) if li != 3 else None
+        if li == 3:
+            wsrc = S.t2n(ws_t[3])
+            wnp = np.empty_like(wsrc)
+            wnp[perm_fc1] = wsrc  # mix rows follow my flat input order
+        slab[0, :, : sizes[li]] = wnp
+        bb[f"ws{li}"] = slab
+    params["backbone"] = jax.tree_util.tree_map(jnp.asarray, bb)
+    hk = np.zeros((2048, NUM_CLASS), np.float32)
+    for t_, fc_h in enumerate(tm.network.classifiers):
+        lo = 0 if t_ == 0 else INIT + (t_ - 1) * INC
+        hk[:, lo: lo + fc_h.out_features] = S.lin_k(fc_h.weight)
+    params["head"] = {"Dense_0": {"kernel": jnp.asarray(hk)}}
+
+    # ---- mvars: masks + projections in my flat order
+    counts = np.zeros((5, m.backbone.slots), np.int64)
+    counts[:, 0] = sizes
+    m._ws_counts = counts
+    mvars = dict(state.mvars)
+    mvars["ws_mask"] = m._ws_mask_arrays(counts)
+    zero_counts = np.zeros_like(counts)
+    mvars["old_rows"] = [jnp.asarray(r, jnp.float32)
+                         for r in m._row_masks(zero_counts)]
+    proj_mine = []
+    for li in range(5):
+        D = m.in_flats[li]
+        rows_t, rows_m = row_map(li, 0)  # base rows only
+        P = np.zeros((D, D), np.float32)
+        P[np.ix_(rows_m, rows_m)] = proj_base[li][np.ix_(rows_t, rows_t)]
+        proj_mine.append(jnp.asarray(P))
+    mvars["proj"] = proj_mine
+    mvars["proj_sign"] = jnp.asarray(
+        [1.0 if t == "remove" else -1.0 for t in ptype], np.float32)
+    state1 = state.replace(params=params, mvars=mvars)
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(25, INIT, INIT + INC)
+    _, _, t_loss = tm.observe(tb)  # stage 0: backward + projection
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "API task1 CE (expanded net)")
+
+    grads = m.transform_grads(
+        jax.grad(lambda p: m.loss(p, state1, jb, None)[0])(state1.params),
+        state1)
+    kernel_names = ["conv0_kernel", "conv1_kernel", "conv2_kernel",
+                    "fc3_kernel", "fc4_kernel"]
+    for li, (mod, name) in enumerate(zip(tm.layers, kernel_names)):
+        tg = S.t2n(mod.weight.grad)
+        out_dim = tg.shape[0]
+        tg_flat = tg.reshape(out_dim, -1).T  # (in_flat_torch, out)
+        mine = np.asarray(
+            grads["backbone"][name]).reshape(-1, out_dim)
+        rows_t, rows_m = row_map(li, sizes[li])
+        np.testing.assert_allclose(
+            mine[rows_m], tg_flat[rows_t], rtol=2e-3, atol=2e-5,
+            err_msg=f"API projected grad mismatch layer {li}")
+        # mix-matrix gradients: torch extra_ws[0] vs my ws slab slot 0
+        tgw = S.t2n(mod.extra_ws[0].grad)  # (base, n)
+        mgw = np.asarray(grads["backbone"][f"ws{li}"])[0][:, : sizes[li]]
+        if li == 3:
+            tgw_m = np.empty_like(tgw)
+            tgw_m[perm_fc1] = tgw
+            tgw = tgw_m
+        np.testing.assert_allclose(
+            mgw, tgw, rtol=2e-3, atol=2e-5,
+            err_msg=f"API mix grad mismatch layer {li}")
