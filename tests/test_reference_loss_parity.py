@@ -2499,3 +2499,214 @@ def test_api_loss_and_projected_grads_task1():
         np.testing.assert_allclose(
             mgw, tgw, rtol=2e-3, atol=2e-5,
             err_msg=f"API mix grad mismatch layer {li}")
+
+
+# ---------------------------------------------------------------- MInfLoRA
+
+
+def test_minflora_v1_loss_task1(monkeypatch):
+    """reference MInfLoRA.py:350-365 observe at task 1 on the executing
+    dual-stream backbone (ViTZoo + Transformer_Proj + ResidualAttentionBi
+    Block + MultiHeadAttention_MaskedLoRA1): the train forward merges the
+    base k/v projections with EVERY expert's B@A (transformer.py:699-707 —
+    the range(cur_task) loop plus the explicit last term covers all
+    experts, expert_id is unused at train), both Bi streams stay identical
+    because the v1 attention returns (x, x, probs) (transformer.py:764),
+    and the loss is plain CE on the CURRENT task head with shifted labels
+    (SiNet.forward else-branch, MInfLoRA.py:297-299). The no-grad probe
+    pass at the top of observe mutates nothing at batch <= 128."""
+    import os
+
+    os.environ.setdefault("PYTHONHASHSEED", "0")
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_m = _refload.ref_module("core.model.MInfLoRA")
+
+    R = 4
+    torch.manual_seed(31)
+    net = ref_vit.ViTZoo(
+        pretrained=False, attn_layer="MultiHeadAttention_MaskedLoRA1",
+        block_layer="ResidualAttentionBiBlock",
+        transformer_layer="Transformer_Proj", lora_rank=R)
+    tm = ref_m.MInfLoRA(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        lame=1.0, lamb=0.95, embd_dim=768, use_ca=False, dataset="cifar")
+    # drive to task 1 without the probe machinery: two head slots + two
+    # experts per attention module (before_task's update_fc/init_param)
+    tm._network.update_fc()
+    tm._network.update_fc()
+    for mod in tm.attention_modules:
+        mod.init_param()
+        mod.init_param()
+    tm._known_classes = INIT
+    rng = np.random.RandomState(32)
+    with torch.no_grad():
+        for mod in tm.attention_modules:
+            for t in range(2):
+                for lst in (mod.lora_A_k_list, mod.lora_A_v_list):
+                    lst[t].weight.copy_(torch.from_numpy(
+                        rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+                for lst in (mod.lora_B_k_list, mod.lora_B_v_list):
+                    lst[t].weight.copy_(torch.from_numpy(
+                        rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+    _eps6(net)
+    net.eval()
+    tm.probe_selection = torch.from_numpy(
+        (rng.randn(2, 3, 224, 224) * 0.5).astype(np.float32))
+
+    m, state = my_method("MInfLoRA", {"rank": R}, backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    lora = {k: np.array(v) for k, v in state.params["lora"].items()}
+    for li, mod in enumerate(tm.attention_modules):
+        for t in range(2):
+            lora["A_k"][li, t] = S.t2n(mod.lora_A_k_list[t].weight)
+            lora["A_v"][li, t] = S.t2n(mod.lora_A_v_list[t].weight)
+            lora["B_k"][li, t] = S.t2n(mod.lora_B_k_list[t].weight)
+            lora["B_v"][li, t] = S.t2n(mod.lora_B_v_list[t].weight)
+    hk = np.zeros((768, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    for t_, fc in enumerate(tm._network.classifier_pool):
+        lo = 0 if t_ == 0 else INIT + (t_ - 1) * INC
+        hk[:, lo: lo + fc.out_features] = S.lin_k(fc.weight)
+        hb[lo: lo + fc.out_features] = S.t2n(fc.bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(hk), "bias": jnp.asarray(hb)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+    }
+    T = TASKS
+    state1 = install(state, params, {}, {
+        "frozen": frozen,
+        "active": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+        "train_onehot": jnp.asarray((np.arange(T) == 1).astype(np.float32)),
+    })
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = (rng.randn(3, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "MInfLoRA v1 task1 CE (merged experts)",
+                      tol=1e-3)
+
+
+def test_minflora_v2_loss_and_grads_task1():
+    """reference MInfLoRA2.py:153-166 observe at task 1 on the executing
+    MultiHeadAttention_MultiMaskedLoRA backbone (transformer.py:795-894):
+    stream 1 runs base-qkv + the single REBASED live LoRA pair on k/v;
+    stream 2 (what Transformer_Proj returns and the head consumes,
+    transformer.py:2036-2043) re-applies the current expert's trust-region
+    weight-space scaling ``W += W U (QQ^T - I) U^T`` on top of the LoRA'd
+    k/v (the 'better, idk why' QQ^T form, transformer.py:866).  Past-task
+    folds live in qkv.weight via merge_weight (transformer.py:228-234) —
+    mirrored here by syncing the folded qkv as the frozen base and zero
+    merged_delta.  Asserts the loss, every layer's lora_B_k/v gradients,
+    and the active 6x6 scale-parameter gradient block."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_m = _refload.ref_module("core.model.MInfLoRA2")
+
+    R, RS = 4, 6
+    torch.manual_seed(41)
+    net = ref_vit.ViTZoo(
+        pretrained=False, attn_layer="MultiHeadAttention_MultiMaskedLoRA",
+        block_layer="ResidualAttentionBiBlock",
+        transformer_layer="Transformer_Proj", lora_rank=R)
+    tm = ref_m.MInfLoRA2(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        lame=1.0, lamb=0.95, embd_dim=768, use_ca=False, dataset="cifar",
+        eval_mat=False)
+    tm._network.update_fc()
+    tm._network.update_fc()
+    tm._known_classes = INIT
+    rng = np.random.RandomState(42)
+    spaces = []
+    # CPU storage split: every scale_param Parameter is built as
+    # nn.Parameter(self.identity_matrix) (transformer.py:540) — Parameters
+    # SHARE that one storage, so a CPU write into scale_param[1][0] would
+    # also mutate identity_matrix (the forward's "identity" crop) and every
+    # other task's scale. On the reference's CUDA runtime Module.to(device)
+    # gives each Parameter its own device copy while identity_matrix stays
+    # a CPU eye — clone here to reproduce the executed (CUDA) semantics.
+    with torch.no_grad():
+        for mod in tm.attention_modules:
+            for plist in mod.scale_param:
+                for p in plist:
+                    p.data = p.data.clone()
+            mod.init_param()
+            mod.lora_A_k.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+            mod.lora_A_v.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+            mod.lora_B_k.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+            mod.lora_B_v.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+            u, _ = np.linalg.qr(rng.randn(768, RS))
+            spaces.append(u.astype(np.float32))
+            mod.enable_scale(task_id=1, space=[torch.from_numpy(spaces[-1])])
+            mod.scale_param[1][0].data[:RS, :RS] = torch.from_numpy(
+                (np.eye(RS) + 0.1 * rng.randn(RS, RS)).astype(np.float32))
+    _eps6(net)
+    net.train()  # routing branch is eval-only; all dropout rates are 0
+
+    m, state = my_method("MInfLoRA2", {"rank": R}, backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    lora = {k: np.array(v) for k, v in state.params["lora"].items()}
+    rc = m.scale_rank_cap
+    scale = np.array(state.params["scale"])
+    tr_space = np.array(state.mvars["tr_space"])
+    tr_mask = np.array(state.mvars["tr_mask"])
+    for li, mod in enumerate(tm.attention_modules):
+        lora["A_k"][li] = S.t2n(mod.lora_A_k.weight)
+        lora["A_v"][li] = S.t2n(mod.lora_A_v.weight)
+        lora["B_k"][li] = S.t2n(mod.lora_B_k.weight)
+        lora["B_v"][li] = S.t2n(mod.lora_B_v.weight)
+        tr_space[li, 1, 0, :RS, :] = spaces[li].T
+        tr_mask[li, 1, 0] = 1.0
+        scale[li, 1, 0][:RS, :RS] = S.t2n(mod.scale_param[1][0])[:RS, :RS]
+    hk = np.zeros((768, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    for t_, fc in enumerate(tm._network.classifier_pool):
+        lo = 0 if t_ == 0 else INIT + (t_ - 1) * INC
+        hk[:, lo: lo + fc.out_features] = S.lin_k(fc.weight)
+        hb[lo: lo + fc.out_features] = S.t2n(fc.bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(hk), "bias": jnp.asarray(hb)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+        "scale": jnp.asarray(scale),
+    }
+    T = TASKS
+    state1 = install(state, params, {}, {
+        "frozen": frozen,
+        "tr_space": jnp.asarray(tr_space),
+        "tr_mask": jnp.asarray(tr_mask),
+        "cur_expert": jnp.asarray(1, jnp.int32),
+        "train_onehot": jnp.asarray((np.arange(T) == 1).astype(np.float32)),
+    })
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = (rng.randn(3, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "MInfLoRA2 task1 CE (dual-stream TR)",
+                      tol=1e-3)
+
+    t_loss.backward()
+    grads = m.transform_grads(
+        jax.grad(lambda p: m.loss(p, state1, jb, None)[0])(state1.params),
+        state1)
+    for li, mod in enumerate(tm.attention_modules):
+        for slot, tmod in (("B_k", mod.lora_B_k), ("B_v", mod.lora_B_v)):
+            np.testing.assert_allclose(
+                np.asarray(grads["lora"][slot][li]), S.t2n(tmod.weight.grad),
+                rtol=5e-3, atol=5e-5,
+                err_msg=f"MInfLoRA2 {slot} grad mismatch layer {li}")
+    g_scale = np.asarray(grads["scale"][0, 1, 0])[:RS, :RS]
+    t_scale = S.t2n(tm.attention_modules[0].scale_param[1][0].grad)[:RS, :RS]
+    np.testing.assert_allclose(g_scale, t_scale, rtol=5e-3, atol=5e-5,
+                               err_msg="MInfLoRA2 scale grad mismatch")
