@@ -2710,3 +2710,133 @@ def test_minflora_v2_loss_and_grads_task1():
     t_scale = S.t2n(tm.attention_modules[0].scale_param[1][0].grad)[:RS, :RS]
     np.testing.assert_allclose(g_scale, t_scale, rtol=5e-3, atol=5e-5,
                                err_msg="MInfLoRA2 scale grad mismatch")
+
+
+def test_minflora_v3_loss_and_grads_task1():
+    """reference MInfLoRA3.py:134-145 observe at task 1 on the executing
+    MultiHeadAttention_MultiMaskedLoRA3 (transformer.py:1157-1250): the
+    running k/v weight accumulates, PER expert ii <= cur_task, the B@A
+    delta followed by that expert's diagonal trust-region rewrite
+    ``W - W S^T S + W S^T diag(diag(Q)) S`` (the live 'Q Diagonal Scaling'
+    — the last of the four scalee assignments wins, :1204-1207).  Streams
+    are identical (the v3 attention returns (x, x, probs)).  Asserts the
+    loss, the CURRENT task's lora_B_k/v grads (the reference freezes all
+    other tasks, MInfLoRA3.py:246-253), and the scale diagonal grads.
+    scale_param storages are cloned for the CUDA-split alias (PARITY.md,
+    MInfLoRA round-3 findings)."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_m = _refload.ref_module("core.model.MInfLoRA3")
+
+    R, RS = 4, 8
+    torch.manual_seed(51)
+    net = ref_vit.ViTZoo(
+        pretrained=False, attn_layer="MultiHeadAttention_MultiMaskedLoRA3",
+        block_layer="ResidualAttentionBiBlock",
+        transformer_layer="Transformer_Proj", lora_rank=R)
+    tm = ref_m.MInfLoRA3(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        lame=1.0, lamb=0.95, embd_dim=768, use_ca=False, dataset="cifar",
+        eval_mat=False)
+    tm._network.update_fc()
+    tm._network.update_fc()
+    tm._known_classes = INIT
+    rng = np.random.RandomState(52)
+    sp_k, sp_v, diags = [], [], []
+    with torch.no_grad():
+        for mod in tm.attention_modules:
+            for p in mod.scale_param:
+                p.data = p.data.clone()  # split the identity_matrix alias
+            mod.init_param()
+            mod.init_param()
+            ks, vs, ds = [], [], []
+            for t in range(2):
+                mod.lora_A_k_list[t].weight.copy_(torch.from_numpy(
+                    rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+                mod.lora_A_v_list[t].weight.copy_(torch.from_numpy(
+                    rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+                mod.lora_B_k_list[t].weight.copy_(torch.from_numpy(
+                    rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+                mod.lora_B_v_list[t].weight.copy_(torch.from_numpy(
+                    rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+                ks.append((rng.randn(RS, 768) * 0.03).astype(np.float32))
+                vs.append((rng.randn(RS, 768) * 0.03).astype(np.float32))
+                ds.append((1.0 + 0.1 * rng.randn(RS)).astype(np.float32))
+                mod.space_k[t] = torch.from_numpy(ks[-1])
+                mod.space_v[t] = torch.from_numpy(vs[-1])
+                blk = 0.1 * rng.randn(RS, RS).astype(np.float32)
+                np.fill_diagonal(blk, ds[-1])
+                mod.scale_param[t].data[:RS, :RS] = torch.from_numpy(blk)
+            sp_k.append(ks)
+            sp_v.append(vs)
+            diags.append(ds)
+    for name, param in tm._network.named_parameters():
+        param.requires_grad_(False)
+        if ("classifier_pool.1" in name or "lora_B_k_list.1" in name
+                or "lora_B_v_list.1" in name or "scale_param.1" in name):
+            param.requires_grad_(True)
+    _eps6(net)
+    net.eval()
+
+    m, state = my_method("MInfLoRA3", {"rank": R, "space_rank": RS},
+                         backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    lora = {k: np.array(v) for k, v in state.params["lora"].items()}
+    scale_diag = np.array(state.params["scale_diag"])
+    space_k = np.array(state.mvars["space_k"])
+    space_v = np.array(state.mvars["space_v"])
+    for li, mod in enumerate(tm.attention_modules):
+        for t in range(2):
+            lora["A_k"][li, t] = S.t2n(mod.lora_A_k_list[t].weight)
+            lora["A_v"][li, t] = S.t2n(mod.lora_A_v_list[t].weight)
+            lora["B_k"][li, t] = S.t2n(mod.lora_B_k_list[t].weight)
+            lora["B_v"][li, t] = S.t2n(mod.lora_B_v_list[t].weight)
+            space_k[li, t] = sp_k[li][t]
+            space_v[li, t] = sp_v[li][t]
+            scale_diag[li, t] = diags[li][t]
+    hk = np.zeros((768, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    for t_, fc in enumerate(tm._network.classifier_pool):
+        lo = 0 if t_ == 0 else INIT + (t_ - 1) * INC
+        hk[:, lo: lo + fc.out_features] = S.lin_k(fc.weight)
+        hb[lo: lo + fc.out_features] = S.t2n(fc.bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(hk), "bias": jnp.asarray(hb)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+        "scale_diag": jnp.asarray(scale_diag),
+    }
+    T = TASKS
+    state1 = install(state, params, {}, {
+        "frozen": frozen,
+        "space_k": jnp.asarray(space_k),
+        "space_v": jnp.asarray(space_v),
+        "space_mask": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+        "active": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+        "train_onehot": jnp.asarray((np.arange(T) == 1).astype(np.float32)),
+    })
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = (rng.randn(3, 3, 224, 224) * 0.5).astype(np.float32)
+    y = rng.randint(INIT, INIT + INC, size=(3,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    jb = {"x": jnp.asarray(x.transpose(0, 2, 3, 1)),
+          "label": jnp.asarray(y.astype(np.int32))}
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "MInfLoRA3 task1 CE (diag TR ladder)",
+                      tol=1e-3)
+
+    t_loss.backward()
+    grads = m.transform_grads(
+        jax.grad(lambda p: m.loss(p, state1, jb, None)[0])(state1.params),
+        state1)
+    for li, mod in enumerate(tm.attention_modules):
+        for slot, tmod in (("B_k", mod.lora_B_k_list[1]),
+                           ("B_v", mod.lora_B_v_list[1])):
+            np.testing.assert_allclose(
+                np.asarray(grads["lora"][slot][li, 1]),
+                S.t2n(tmod.weight.grad), rtol=5e-3, atol=5e-5,
+                err_msg=f"MInfLoRA3 {slot} grad mismatch layer {li}")
+    g_diag = np.asarray(grads["scale_diag"][0, 1])
+    t_diag = np.diag(S.t2n(tm.attention_modules[0].scale_param[1].grad))[:RS]
+    np.testing.assert_allclose(g_diag, t_diag, rtol=5e-3, atol=5e-5,
+                               err_msg="MInfLoRA3 scale diag grad mismatch")
