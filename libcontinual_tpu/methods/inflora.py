@@ -187,6 +187,14 @@ class InfLoRAOPT(InfLoRA):
             state = self._compact_classifier(state, task_idx)
         return state
 
+    # sampling seams (overridden by the differential parity test to feed
+    # bit-identical draws to this and the executing reference)
+    def _ca_noise(self, rng, n, class_id):
+        return rng.randn(n, self.embed_dim).astype(np.float32)
+
+    def _ca_perm(self, rng, n):
+        return rng.permutation(n)
+
     def _compact_classifier(self, state, task_idx):
         """Retrain the head on features sampled from the class Gaussians —
         reference-exact protocol (InfLoRA_opt.py:400-458): SGD lr 0.01
@@ -234,12 +242,12 @@ class InfLoRAOPT(InfLoRA):
             for c in seen:
                 decay = (cls_of[int(c)] + 1) / (task_idx + 1) * 0.1
                 mean = self._class_means[c] * (0.9 + decay)
-                z = rng.randn(n, self.embed_dim).astype(np.float32)
+                z = self._ca_noise(rng, n, int(c))
                 xs.append(z @ self._class_chol[c].T + mean)
                 ys.append(np.full((n,), c, np.int32))
             xs = np.concatenate(xs)
             ys = np.concatenate(ys)
-            perm = rng.permutation(len(ys))
+            perm = self._ca_perm(rng, len(ys))
             xs, ys = xs[perm], ys[perm]
             lr = float(sched(ep))
             for i in range(steps_per_epoch):
