@@ -2946,3 +2946,29 @@ def test_inflora_opt_compact_classifier(monkeypatch):
         np.testing.assert_allclose(
             out_b[lo:hi], S.t2n(pool.bias), rtol=2e-3, atol=2e-4,
             err_msg=f"compact-classifier bias task {t_}")
+
+
+# ---------------------------------------------------------------- Finetune
+
+
+def test_finetune_loss_task1(ref_resnet):
+    """reference finetune.py:15-25: plain full-head CE (NO class masking —
+    unseen head columns participate in the softmax) on the cifar_resnet20
+    features; the naive baseline every other method builds on."""
+    ref_ft = _refload.ref_module("core.model.finetune")
+    torch.manual_seed(71)
+    tm = ref_ft.Finetune(
+        ref_resnet.cifar_resnet20(), feat_dim=FEAT, num_class=NUM_CLASS,
+        **REF_KW)
+    randomize_torch(tm, 72)
+    tm.train()  # the trainer observes in train mode: BN uses batch stats
+
+    m, state = my_method("Finetune")
+    params, mstate = full_pytree(tm.backbone, tm.classifier)
+    state1 = install(state, params, mstate)
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(73, 0, INIT + INC)
+    _, _, t_loss = tm.observe(tb)
+    j_loss, _ = m.loss(state1.params, state1, jb, None)
+    assert_loss_close(t_loss, j_loss, "Finetune full-head CE")
