@@ -82,6 +82,16 @@ def _families(tiny_config, tmp_path):
     cfg["optimizer"] = {"name": "Adam", "kwargs": {"lr": 0.005}}
     fam["clip"] = cfg
 
+    cfg = _base(tiny_config, tmp_path, "cl_lora")
+    cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "CL_LoRA",
+        "kwargs": {"num_class": 8, "feat_dim": 64, "init_cls_num": 4,
+                   "inc_cls_num": 4, "task_num": 2, "rank": 2},
+    }
+    cfg["optimizer"] = {"name": "Adam", "kwargs": {"lr": 0.01}}
+    fam["cl_lora"] = cfg
+
     cfg = _base(tiny_config, tmp_path, "ocm")
     cfg["classifier"] = {
         "name": "OCM",
@@ -98,7 +108,7 @@ def _families(tiny_config, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "family", ["icarl", "gpm", "l2p", "minflora2", "clip", "ocm"])
+    "family", ["icarl", "gpm", "l2p", "minflora2", "clip", "cl_lora", "ocm"])
 def test_resume_equality(tiny_config, tmp_path, family):
     cfg = _families(tiny_config, tmp_path)[family]
     tr = Trainer(cfg)
