@@ -1,0 +1,66 @@
+"""Serving export: the StableHLO artifact must reproduce the live eval path
+bit-for-bit (same program, ahead-of-time serialized), survive a
+serialize/deserialize round trip, and support all three flavors: baked
+weights, symbolic batch, weights-as-args."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcontinual_tpu.core.trainer import Trainer
+from libcontinual_tpu.serving import ServingModel, export_from_trainer
+
+
+def _trained_trainer(tiny_config):
+    cfg = copy.deepcopy(tiny_config)
+    cfg["epoch"] = 1
+    tr = Trainer(cfg)
+    tr.train_loop()
+    return tr
+
+
+def test_export_baked_matches_live_eval(tiny_config):
+    tr = _trained_trainer(tiny_config)
+    blob = export_from_trainer(
+        tr, batch_size=8, platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    model = ServingModel.load(blob)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(8, 32, 32, 3).astype(np.float32)
+    served = np.asarray(model(jnp.asarray(x)))
+    live_x = tr.method.augment(None, jnp.asarray(x), train=False)
+    live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
+    np.testing.assert_allclose(served, live, rtol=1e-5, atol=1e-5)
+    # seen-class masking is part of the artifact
+    assert np.all(served[:, 8:] <= -1e29)
+
+
+def test_export_symbolic_batch(tiny_config):
+    tr = _trained_trainer(tiny_config)
+    blob = export_from_trainer(tr, batch_size=None, platforms=("cpu",))
+    model = ServingModel.load(blob)
+    rng = np.random.RandomState(4)
+    for b in (1, 5, 16):
+        x = rng.rand(b, 32, 32, 3).astype(np.float32)
+        out = np.asarray(model(jnp.asarray(x)))
+        assert out.shape == (b, 8)
+
+
+def test_export_weights_as_args(tiny_config):
+    tr = _trained_trainer(tiny_config)
+    blob = export_from_trainer(
+        tr, batch_size=4, bake_weights=False, platforms=("cpu",))
+    model = ServingModel.load(blob)
+    rng = np.random.RandomState(5)
+    x = rng.rand(4, 32, 32, 3).astype(np.float32)
+    out1 = np.asarray(model(tr.state, jnp.asarray(x)))
+    # hot-swap: zeroed head must change the logits fed the same state shape
+    params = jax.tree_util.tree_map(lambda a: a, tr.state.params)
+    params["head"] = jax.tree_util.tree_map(jnp.zeros_like, params["head"])
+    state2 = tr.state.replace(params=params)
+    out2 = np.asarray(model(state2, jnp.asarray(x)))
+    assert out1.shape == out2.shape == (4, 8)
+    assert not np.allclose(out1[:, :8], out2[:, :8])
