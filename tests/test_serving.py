@@ -64,3 +64,40 @@ def test_export_weights_as_args(tiny_config):
     out2 = np.asarray(model(state2, jnp.asarray(x)))
     assert out1.shape == out2.shape == (4, 8)
     assert not np.allclose(out1[:, :8], out2[:, :8])
+
+
+def test_export_sharded_dp(tiny_config):
+    """Multi-chip serving: export the inference program jitted over a
+    dp mesh (batch sharded across 8 virtual devices). jax.export records
+    the shardings + device assignment; the loaded artifact runs under the
+    same-shaped mesh — the deployment path for fleet serving."""
+    import copy
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import export as jax_export
+    from libcontinual_tpu.serving import _infer_fn
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["epoch"] = 1
+    tr = Trainer(cfg)
+    tr.train_loop()
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    bshard = NamedSharding(mesh, P("data"))
+    run = _infer_fn(tr.method, tr.state, -1)
+    state = jax.device_put(tr.state, NamedSharding(mesh, P()))  # replicate
+    fn = jax.jit(lambda images: run(state, images), in_shardings=bshard)
+    spec = jax.ShapeDtypeStruct((16, 32, 32, 3), jnp.float32, sharding=bshard)
+    exp = jax_export.export(fn)(spec)
+    blob = bytes(exp.serialize())
+    model = ServingModel.load(blob)
+    assert model.exported.nr_devices == 8
+
+    rng = np.random.RandomState(6)
+    x_np = rng.rand(16, 32, 32, 3).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), bshard)
+    served = np.asarray(model(x))
+    live_x = tr.method.augment(None, jnp.asarray(x_np), train=False)
+    live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
+    np.testing.assert_allclose(served, live, rtol=1e-4, atol=1e-4)
