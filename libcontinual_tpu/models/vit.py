@@ -290,20 +290,39 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
-                 moe_rng=None, gate_index=0, capture=False, gate_pos=None):
+                 moe_rng=None, gate_index=0, capture=False, gate_pos=None,
+                 x2=None, delta2_fn=None):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
-        ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        ln1_mod = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")
+        attn_mod = ViTAttention(self.dim, self.num_heads, self.dtype,
+                                name="attn")
+        ln2_mod = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")
+        mlp_mod = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                      act=self.act, name="mlp")
+        ln1 = ln1_mod(x)
         if self.ssf:
             ln1 = SSF(self.dim, name="ssf_1")(ln1)
-        x = x + ViTAttention(self.dim, self.num_heads, self.dtype, name="attn")(
+        x = x + attn_mod(
             ln1, prefix_kv=prefix_kv, qkv_delta=qkv_delta, attn_mask=attn_mask
         )
-        ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        if x2 is not None:
+            # dual-stream ("Bi") mode: stream 2 shares every module but gets
+            # its own runtime qkv delta, computed from stream 1's NORMALIZED
+            # attention input — the reference routes trust-region experts on
+            # the (B, N, C) tensor its attention receives, i.e. ln_1(x)
+            # (transformer.py:1928-1932 permutes ln_1 outputs into the attn,
+            # whose eval branch Grams that x, :813-829)
+            delta2 = delta2_fn(ln1.astype(jnp.float32))
+            x2 = x2 + attn_mod(
+                ln1_mod(x2), prefix_kv=prefix_kv, qkv_delta=delta2,
+                attn_mask=attn_mask,
+            )
+            x2 = x2 + mlp_mod(ln2_mod(x2))
+        ln2 = ln2_mod(x)
         if self.ssf:
             ln2 = SSF(self.dim, name="ssf_2")(ln2)
-        y = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                act=self.act, name="mlp")(ln2)
+        y = mlp_mod(ln2)
         aux = 0.0
         if self.adapter_dim > 0:
             # adapters consume the RAW post-attention residual, not ln_2(x):
@@ -336,6 +355,10 @@ class ViTBlock(nn.Module):
             )(x, gate_noise_rng=noise_rng, gate_vec=gvec, dropout_rng=drop_rng)
             y = y + moe_out
         out = x + y
+        if x2 is not None and capture:
+            return out, x2, (ln1.astype(jnp.float32), x.astype(jnp.float32))
+        if x2 is not None:
+            return out, x2
         if capture:
             # capture both method-relevant streams: the LoRA delta applies to
             # the post-ln_1 activations (reference vit_inflora.py:294), while
@@ -386,9 +409,10 @@ class VisionTransformer(nn.Module):
         backbone/transformer.py:1887-1946, 2020-2043): a second stream x2
         flows through the SAME blocks (shared weights) but with its own
         per-layer qkv weight delta, computed at runtime by
-        ``dual_delta_fn(i, x) -> (d, 3d) | None`` from the first stream's
-        block input (the reference routes trust-region experts from x's
-        Gram at eval). Returns stream-2 features as ``features`` (the
+        ``dual_delta_fn(i, ln1) -> (d, 3d) | None`` from stream 1's ln_1
+        output — the (B, N, C) tensor the reference's attention receives
+        and its eval routing Grams (transformer.py:1928-1932, 813-829) —
+        not the pre-norm block input. Returns stream-2 features as ``features`` (the
         reference's Transformer_Proj returns x_proj) plus stream-1 features
         as ``features_x``."""
         b = x.shape[0]
@@ -472,11 +496,24 @@ class VisionTransformer(nn.Module):
                 moe_aux = moe_aux + aux
             else:
                 if x2 is not None:
-                    # second stream through the SAME block instance (shared
-                    # weights), with its own runtime-computed qkv delta
-                    delta2 = dual_delta_fn(i, x)
-                    x2 = block(x2, prefix_kv=pkv, qkv_delta=delta2)
-                if capture:
+                    # second ("Bi") stream runs INSIDE the block — shared
+                    # modules, own qkv delta computed from stream 1's ln_1
+                    # output (the tensor the reference's routing Grams)
+                    d2fn = (lambda ln1, i=i: dual_delta_fn(i, ln1))
+                    if capture:
+                        x, x2, (ln1, adapt_in) = block(
+                            x, prefix_kv=pkv, qkv_delta=delta, capture=True,
+                            x2=x2, delta2_fn=d2fn,
+                        )
+                        attn_inputs.append(
+                            adapt_in if capture_point == "mlp" else ln1
+                        )
+                    else:
+                        x, x2 = block(
+                            x, prefix_kv=pkv, qkv_delta=delta,
+                            x2=x2, delta2_fn=d2fn,
+                        )
+                elif capture:
                     # input-covariance capture: ln_1 (the tensor the qkv
                     # delta multiplies — LoRA/GPM family) or the raw
                     # post-attention residual (the adaptmlp input — DMNSP)

@@ -1,0 +1,347 @@
+"""Differential EVAL parity: my eval_logits / prediction path vs the
+EXECUTING reference methods' ``inference`` (torch, CPU).
+
+The loss-parity suite (test_reference_loss_parity.py) proves the TRAINING
+math; several methods have a *different* program at eval — iCaRL's
+nearest-class-mean readout, BiC's per-block bias correction, DualPrompt's
+top-1 key match, DER's concatenated-extractor head. These tests sync
+weights + eval-time state and assert prediction (and, where the reference
+exposes them, logit/score) parity on the reference's own inference code.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import _refload
+import _refsync as S
+from test_reference_loss_parity import (
+    DEV, FEAT, INC, INIT, NUM_CLASS, REF_KW, TASKS, _eps6, _prompt_harness,
+    _vit_frozen, batch_of, full_pytree, head_pytree, install, my_method,
+    randomize_torch,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_resnet():
+    return _refload.ref_module("core.model.backbone.resnet")
+
+
+# ---------------------------------------------------------------- iCaRL NCM
+
+
+def test_icarl_ncm_eval(ref_resnet):
+    """reference icarl.py NCM_classify: argmin of pairwise squared
+    euclidean distance between eval-mode backbone features and the stored
+    class means. Compares the score matrix (mine = -distance) and the
+    predictions."""
+    ref_icarl = _refload.ref_module("core.model.icarl")
+    tm = ref_icarl.ICarl(ref_resnet.cifar_resnet20(), FEAT, NUM_CLASS,
+                         **REF_KW)
+    randomize_torch(tm.network, 2001)
+    tm.cur_task_id = 1
+    tm.prev_cls_num = INIT
+    tm.accu_cls_num = INIT + INC
+    rng = np.random.RandomState(2002)
+    means = rng.randn(INIT + INC, FEAT).astype(np.float32)
+    tm.class_means = torch.from_numpy(means)
+    tm.network.eval()
+
+    m, state = my_method("ICarl")
+    params, mstate = full_pytree(tm.network.backbone, tm.network.classifier)
+    my_means = np.zeros((NUM_CLASS, FEAT), np.float32)
+    my_means[: INIT + INC] = means
+    state1 = install(state, params, mstate, {
+        "class_means": jnp.asarray(my_means),
+        "nme_ready": jnp.ones((), jnp.float32),
+        "mean_valid": jnp.asarray(
+            (np.arange(NUM_CLASS) < INIT + INC).astype(np.float32)),
+    })
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(2003, 0, INIT + INC)
+    t_pred, _ = tm.inference(tb)
+    j_logits = np.asarray(m.eval_logits(state1, jb["x"], -1))
+    j_pred = np.argmax(j_logits, axis=1)
+    np.testing.assert_array_equal(j_pred, S.t2n(t_pred))
+    # score parity: mine is -squared-distance on the seen columns
+    with torch.no_grad():
+        feats = tm.network.backbone(tb["image"])["features"]
+        d = ((feats[:, None, :] - tm.class_means[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], -S.t2n(d), rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------- BiC eval
+
+
+def test_bic_bias_corrected_eval(ref_resnet):
+    """reference bic.py inference: per-block bias layers applied to EVERY
+    task block (the train branch is dead — ``train = False`` is hardcoded
+    at the top of bias_forward), argmax over the seen prefix."""
+    ref_bic = _refload.ref_module("core.model.bic")
+    tm = ref_bic.bic(ref_resnet.cifar_resnet32_V2(), NUM_CLASS, **REF_KW)
+    tm.model.classifier = torch.nn.Linear(64, NUM_CLASS)  # shipped-head repair
+    randomize_torch(tm.model, 2101)
+    g = torch.Generator().manual_seed(2102)
+    with torch.no_grad():
+        tm.model.classifier.weight.normal_(0, 0.1, generator=g)
+        tm.model.classifier.bias.normal_(0, 0.1, generator=g)
+        tm.bias_layers[0].alpha.fill_(1.3)
+        tm.bias_layers[0].beta.fill_(0.2)
+        tm.bias_layers[1].alpha.fill_(0.7)
+        tm.bias_layers[1].beta.fill_(-0.1)
+    tm.cur_task = 1
+    tm.seen_cls = INIT + INC
+    tm.model.eval()
+
+    m, state = my_method("bic", {}, backbone="cifar_resnet32_V2", feat=64)
+    blocks_p = S.sync_preact_resnet(tm.model.backbone)
+    params = {"backbone": blocks_p["params"],
+              "head": head_pytree(tm.model.classifier)}
+    alphas = np.ones((TASKS,), np.float32)
+    betas = np.zeros((TASKS,), np.float32)
+    alphas[0], betas[0] = 1.3, 0.2
+    alphas[1], betas[1] = 0.7, -0.1
+    state1 = install(state, params, {"batch_stats": blocks_p["batch_stats"]},
+                     {"alphas": jnp.asarray(alphas),
+                      "betas": jnp.asarray(betas)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(2103, 0, INIT + INC)
+    with torch.no_grad():
+        p = tm.bias_forward(tm.model(tb["image"]), train=False)
+    j_logits = np.asarray(m.eval_logits(state1, jb["x"], -1))
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], S.t2n(p)[:, : INIT + INC],
+        rtol=1e-4, atol=1e-4)
+    t_pred, _ = tm.inference(tb)
+    np.testing.assert_array_equal(
+        np.argmax(j_logits, axis=1), S.t2n(t_pred))
+
+
+# ------------------------------------------------------- DualPrompt eval
+
+
+def test_dualprompt_eval_keymatch():
+    """reference dualprompt.py inference -> prompt.py eval branch: top-1
+    cosine key match selects the e-prompt per sample (no task id at eval),
+    logits from the prompted forward."""
+    ref_dp = _refload.ref_module("core.model.dualprompt")
+    zoo, m, state = _prompt_harness(
+        "DualPrompt",
+        {"e_prompt_length": 20, "g_prompt_length": 6, "pool_size": 10})
+    kw = dict(num_class=NUM_CLASS, e_prompt_length=20, g_prompt_length=6,
+              **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm = ref_dp.DualPrompt(zoo, 768, kw.pop("num_class"), device=DEV, **kw)
+    tm.before_task(0, None, None, None)
+    tm.after_task(0, None, None, None)
+    tm.before_task(1, None, None, None)
+    g = torch.Generator().manual_seed(2201)
+    pr = tm.network.backbone.prompt
+    with torch.no_grad():
+        for name in ["g_p_0", "g_p_1", "e_p_2", "e_p_3", "e_p_4",
+                     "e_k_2", "e_k_3", "e_k_4"]:
+            getattr(pr, name).uniform_(0, 1, generator=g)
+        tm.network.classifier.weight.normal_(0, 0.02, generator=g)
+        tm.network.classifier.bias.zero_()
+    _eps6(tm.network)
+    tm.network.eval()
+
+    prompt_params = {n: S.t2n(getattr(pr, n)) for n in
+                     ["g_p_0", "g_p_1", "e_p_2", "e_p_3", "e_p_4",
+                      "e_k_2", "e_k_3", "e_k_4"]}
+    k = np.zeros((768, NUM_CLASS), np.float32)
+    b = np.zeros((NUM_CLASS,), np.float32)
+    k[:, : INIT + INC] = S.lin_k(tm.network.classifier.weight)
+    params = {"head": {"Dense_0": {"kernel": jnp.asarray(k),
+                                   "bias": jnp.asarray(b)}},
+              "prompt": prompt_params}
+    state1 = install(state, params, {}, {"frozen": _vit_frozen(zoo)})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(2202)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    y = rng.randint(0, INIT + INC, size=(4,)).astype(np.int64)
+    tb = {"image": torch.from_numpy(x), "label": torch.from_numpy(y)}
+    with torch.no_grad():
+        t_logits = tm.network(tb["image"], train=False)
+    j_logits = np.asarray(
+        m.eval_logits(state1, jnp.asarray(x.transpose(0, 2, 3, 1)), -1))
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], S.t2n(t_logits)[:, : INIT + INC],
+        rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------- DER eval
+
+
+def test_der_concat_eval(ref_resnet):
+    """reference der.py inference: concatenated per-extractor features
+    through the widened fc."""
+    ref_der = _refload.ref_module("core.model.der")
+    tm = ref_der.DER(ref_resnet.resnet18(
+        args={"dataset": "cifar100", "init_cls_num": INIT, "inc_cls_num": INC}
+    ), 512, NUM_CLASS, **REF_KW)
+    tm.before_task(0, None, None, None)
+    tm.before_task(1, None, None, None)
+    randomize_torch(tm.convnets[0], 2301)
+    randomize_torch(tm.convnets[1], 2302)
+    g = torch.Generator().manual_seed(2303)
+    with torch.no_grad():
+        tm.fc.weight.normal_(0, 0.05, generator=g)
+        tm.fc.bias.normal_(0, 0.05, generator=g)
+    tm.convnets.eval()
+
+    m, state = my_method("DER", backbone="resnet18", feat=512)
+    m._active_count = 2
+    D = 512
+    nets = [S.sync_resnet(*S.blocks_torchvision(tm.convnets[i]))
+            for i in range(2)]
+
+    def stack(*trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    pads = [nets[0]] * (TASKS - 2)
+    bb = stack(*(n["params"] for n in (nets + pads)))
+    bs = stack(*(n["batch_stats"] for n in (nets + pads)))
+    hk = np.zeros((TASKS * D, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    hk[: 2 * D, : INIT + INC] = S.lin_k(tm.fc.weight)
+    hb[: INIT + INC] = S.t2n(tm.fc.bias)
+    params = dict(state.params)
+    params.update({"backbone": bb,
+                   "head": {"Dense_0": {"kernel": jnp.asarray(hk),
+                                        "bias": jnp.asarray(hb)}}})
+    state1 = install(state, params, {"batch_stats": bs}, {
+        "active": jnp.asarray((np.arange(TASKS) < 2).astype(np.float32))})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    tb, jb = batch_of(2304, 0, INIT + INC)
+    t_pred, _ = tm.inference(tb)
+    with torch.no_grad():
+        feats = torch.cat([cn(tb["image"])["features"]
+                           for cn in tm.convnets], 1)
+        t_logits = tm.fc(feats)["logits"]
+    j_logits = np.asarray(m.eval_logits(state1, jb["x"], -1))
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], S.t2n(t_logits)[:, : INIT + INC],
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.argmax(j_logits, 1), S.t2n(t_pred))
+
+
+# ------------------------------------------------- MInfLoRA2 routed eval
+
+
+def test_minflora_v2_routed_eval():
+    """reference MInfLoRA2.py inference -> MultiMaskedLoRA eval branch
+    (transformer.py:813-829): per layer, Gram the (B, N, C) attention input,
+    project through every created task's saved_space, argmax the projection
+    norms to pick the expert whose trust-region scaling rewrites stream 2's
+    k/v; logits concat the created heads. Compares eval logits end-to-end
+    with per-layer routing live on both sides."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_m = _refload.ref_module("core.model.MInfLoRA2")
+
+    R, RS, RR = 4, 6, 10
+    torch.manual_seed(45)
+    net = ref_vit.ViTZoo(
+        pretrained=False, attn_layer="MultiHeadAttention_MultiMaskedLoRA",
+        block_layer="ResidualAttentionBiBlock",
+        transformer_layer="Transformer_Proj", lora_rank=R)
+    tm = ref_m.MInfLoRA2(
+        net, DEV, init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS,
+        lame=1.0, lamb=0.95, embd_dim=768, use_ca=False, dataset="cifar",
+        eval_mat=False)
+    tm._network.update_fc()
+    tm._network.update_fc()
+    tm._known_classes = INIT
+    rng = np.random.RandomState(46)
+    tr_spaces, route_spaces, scales = [], [], []
+    with torch.no_grad():
+        for mod in tm.attention_modules:
+            for plist in mod.scale_param:
+                for p in plist:
+                    p.data = p.data.clone()  # split identity_matrix alias
+            mod.init_param()
+            mod.lora_A_k.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+            mod.lora_A_v.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.2, 0.2, (R, 768)).astype(np.float32)))
+            mod.lora_B_k.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+            mod.lora_B_v.weight.copy_(torch.from_numpy(
+                rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
+            trs, rts, scs = [], [], []
+            for t in range(2):
+                u, _ = np.linalg.qr(rng.randn(768, RS))
+                trs.append(u.astype(np.float32))
+                mod.enable_scale(task_id=t, space=[torch.from_numpy(trs[-1])])
+                blk = (np.eye(RS) + 0.1 * rng.randn(RS, RS)).astype(np.float32)
+                scs.append(blk)
+                mod.scale_param[t][0].data[:RS, :RS] = torch.from_numpy(blk)
+                sv = rng.randn(768, RR).astype(np.float32)
+                rts.append(sv)
+                mod.save_space(t, torch.from_numpy(sv))
+            tr_spaces.append(trs)
+            route_spaces.append(rts)
+            scales.append(scs)
+    _eps6(net)
+    net.eval()  # routing branch is eval-only
+
+    m, state = my_method("MInfLoRA2", {"rank": R}, backbone="ViTZoo",
+                         feat=768)
+    frozen = jax.tree_util.tree_map(jnp.asarray, S.sync_vit(net.feat, 12))
+    lora = {k: np.array(v) for k, v in state.params["lora"].items()}
+    scale = np.array(state.params["scale"])
+    tr_space = np.array(state.mvars["tr_space"])
+    tr_mask = np.array(state.mvars["tr_mask"])
+    route_space = np.array(state.mvars["route_space"])
+    for li, mod in enumerate(tm.attention_modules):
+        lora["A_k"][li] = S.t2n(mod.lora_A_k.weight)
+        lora["A_v"][li] = S.t2n(mod.lora_A_v.weight)
+        lora["B_k"][li] = S.t2n(mod.lora_B_k.weight)
+        lora["B_v"][li] = S.t2n(mod.lora_B_v.weight)
+        for t in range(2):
+            tr_space[li, t, 0, :RS, :] = tr_spaces[li][t].T
+            tr_mask[li, t, 0] = 1.0
+            scale[li, t, 0][:RS, :RS] = scales[li][t]
+            route_space[li, t, :, :RR] = route_spaces[li][t]
+    hk = np.zeros((768, NUM_CLASS), np.float32)
+    hb = np.zeros((NUM_CLASS,), np.float32)
+    for t_, fc in enumerate(tm._network.classifier_pool):
+        lo = 0 if t_ == 0 else INIT + (t_ - 1) * INC
+        hk[:, lo: lo + fc.out_features] = S.lin_k(fc.weight)
+        hb[lo: lo + fc.out_features] = S.t2n(fc.bias)
+    params = {
+        "head": {"Dense_0": {"kernel": jnp.asarray(hk), "bias": jnp.asarray(hb)}},
+        "lora": {k: jnp.asarray(v) for k, v in lora.items()},
+        "scale": jnp.asarray(scale),
+    }
+    T = TASKS
+    state1 = install(state, params, {}, {
+        "frozen": frozen,
+        "tr_space": jnp.asarray(tr_space),
+        "tr_mask": jnp.asarray(tr_mask),
+        "route_space": jnp.asarray(route_space),
+        "route_mask": jnp.asarray((np.arange(T) < 2).astype(np.float32)),
+        "cur_expert": jnp.asarray(1, jnp.int32),
+    })
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    x = (rng.randn(4, 3, 224, 224) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tm._network(torch.from_numpy(x), expert_id=0,
+                               inference=True)
+    j_logits = np.asarray(m.eval_logits(
+        state1, jnp.asarray(x.transpose(0, 2, 3, 1)), -1))
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], S.t2n(t_logits), rtol=2e-3, atol=2e-3)
