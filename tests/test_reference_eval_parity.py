@@ -345,3 +345,61 @@ def test_minflora_v2_routed_eval():
         state1, jnp.asarray(x.transpose(0, 2, 3, 1)), -1))
     np.testing.assert_allclose(
         j_logits[:, : INIT + INC], S.t2n(t_logits), rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------- L2P eval
+
+
+def test_l2p_eval():
+    """reference l2p.py inference: the un-masked prompted forward at
+    train=False (frozen query pass + batchwise-majority top-k selection is
+    live at eval too, prompt.py:369-406); seen-prefix argmax."""
+    ref_vit = _refload.ref_module("core.model.backbone.vit")
+    ref_l2p = _refload.ref_module("core.model.l2p")
+    ref_tf = _refload.ref_module("core.model.backbone.transformer")  # noqa
+
+    torch.manual_seed(7)  # same margin-safe seed as the loss test
+    zoo = ref_vit.ViTZoo(pretrained=False)
+    kw = dict(num_class=NUM_CLASS, feat_dim=768, prompt_length=5,
+              pool_size=10, top_k=5, pull_constraint_coeff=0.1,
+              **{k: v for k, v in REF_KW.items() if k != "device"})
+    tm = ref_l2p.L2P(zoo, DEV, **kw)
+    g = torch.Generator().manual_seed(2401)
+    with torch.no_grad():
+        tm.network.backbone.prompt.prompt.uniform_(0, 1, generator=g)
+        tm.network.backbone.prompt.prompt_key.uniform_(0, 1, generator=g)
+        tm.network.classifier.weight.normal_(0, 0.02, generator=g)
+        tm.network.classifier.bias.zero_()
+    _eps6(tm.network)
+    tm.cur_task_id = 1
+    tm._known_classes = INIT
+    tm.network.eval()
+
+    m, state = my_method(
+        "L2P",
+        {"prompt_length": 5, "pool_size": 10, "top_k": 5,
+         "pull_constraint_coeff": 0.1},
+        backbone="ViTZoo", feat=768)
+    frozen = jax.tree_util.tree_map(
+        jnp.asarray, S.sync_vit(tm.network.backbone.feat, 12))
+    params = {
+        "head": {"Dense_0": {
+            "kernel": S.lin_k(tm.network.classifier.weight),
+            "bias": S.t2n(tm.network.classifier.bias)}},
+        "prompt": {
+            "prompt": S.t2n(tm.network.backbone.prompt.prompt)[0],
+            "key": S.t2n(tm.network.backbone.prompt.prompt_key)},
+    }
+    state1 = install(state, params, {}, {"frozen": frozen})
+    state1 = m.start_task(state1, 1, INIT, INIT + INC)
+
+    rng = np.random.RandomState(2402)
+    x = rng.randn(4, 3, 224, 224).astype(np.float32) * 0.5
+    tb = {"image": torch.from_numpy(x)}
+    with torch.no_grad():
+        t_logits, _ = tm.network(tb["image"], train=False)
+    j_logits = np.asarray(m.eval_logits(
+        state1, jnp.asarray(x.transpose(0, 2, 3, 1)), -1))
+    np.testing.assert_allclose(
+        j_logits[:, : INIT + INC], S.t2n(t_logits)[:, : INIT + INC],
+        rtol=1e-3, atol=1e-3)
