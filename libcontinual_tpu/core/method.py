@@ -256,6 +256,13 @@ class Method:
         whole task sequence."""
         return None
 
+    def eval_jit_key(self):
+        """Like ``jit_key`` but for the trainer's EVAL programs. Methods whose
+        eval trace should be bounded by the tasks learned so far (e.g.
+        CL-LoRA's per-task diagonal forwards) return that count here; the
+        default None keeps one task-agnostic eval trace."""
+        return None
+
     def epochs_for_task(self, task_idx: int, default: int) -> int:
         """Per-task epoch override (RanPAC trains only the first session,
         reference ranpac.py:176-180)."""

@@ -116,8 +116,6 @@ class Trainer:
             )
 
         self._jit_cache: Dict[Any, Any] = {}
-        self._eval_fn = jax.jit(self.method.eval_step)
-        self._feature_fn = jax.jit(self._features)
 
         method = self.method
 
@@ -138,8 +136,11 @@ class Trainer:
             return total
 
         # one dispatch per (task, data-size): the whole eval pass runs as a
-        # scan on device (each host round-trip costs ~35 ms on this tunnel)
-        self._eval_scan = jax.jit(eval_scan)
+        # scan on device (each host round-trip costs ~35 ms on this tunnel).
+        # Eval programs are cached per method.eval_jit_key() so methods whose
+        # eval trace grows with the learned-task count (CL-LoRA's per-task
+        # diagonal forwards) don't pay the full task_num fan-out from task 0.
+        self._eval_scan_raw = eval_scan
 
         self.acc_table = np.zeros((self.task_num, self.task_num))
         self.epoch_scan = bool(config.get("epoch_scan", True)) and self.method.scan_safe
@@ -167,11 +168,51 @@ class Trainer:
                 self._resume_from = last
                 self.log.info("resumed from checkpoint after task %d", last)
 
+    def _eval_scan(self, *args):
+        key = ("eval_scan", self.method.eval_jit_key())
+        if key not in self._jit_cache:
+            # a FRESH closure per key: jax's pjit cache keys on the wrapped
+            # function's identity + avals, so jitting the same raw function
+            # under a new key would silently REUSE the previous key's trace
+            # (the reason the train-side caches below also build new
+            # closures per entry)
+            raw = self._eval_scan_raw
+
+            def eval_scan_keyed(*a):
+                return raw(*a)
+
+            self._jit_cache[key] = jax.jit(eval_scan_keyed)
+        return self._jit_cache[key](*args)
+
+    def _eval_fn(self, *args):
+        key = ("eval_step", self.method.eval_jit_key())
+        if key not in self._jit_cache:
+            method = self.method
+
+            def eval_step_keyed(*a):
+                return method.eval_step(*a)
+
+            self._jit_cache[key] = jax.jit(eval_step_keyed)
+        return self._jit_cache[key](*args)
+
     # ------------------------------------------------------------- jitted fns
 
     def _features(self, state, images):
         x = self.method.augment(None, images, train=False)
         return self.method.herding_features(state, x)
+
+    def _feature_fn(self, *args):
+        # keyed like the eval programs: herding_features may be bounded by
+        # the learned-task count (DER's active-prefix stack)
+        key = ("features", self.method.eval_jit_key())
+        if key not in self._jit_cache:
+            raw = self._features
+
+            def features_keyed(*a):
+                return raw(*a)
+
+            self._jit_cache[key] = jax.jit(features_keyed)
+        return self._jit_cache[key](*args)
 
     def _get_epoch_fn(self, tx):
         key = ("epoch", id(tx), self.method.jit_key())

@@ -231,7 +231,11 @@ def synthetic_source(config: Dict, mode: str) -> Dict:
     return make_synthetic(
         num_classes=num_classes,
         per_class=per_class,
-        image_size=config.get("image_size", 32),
+        # storage_size decouples the STORED geometry from the model's
+        # resize target (real datasets store file geometry; e.g. CIFAR 32
+        # resized in-graph to a ViT's 224): synthetic mirrors that when a
+        # config wants to exercise the resize path
+        image_size=config.get("storage_size") or config.get("image_size", 32),
         seed=base,
         sample_seed=base + (0 if mode == "train" else 10_000),
     )

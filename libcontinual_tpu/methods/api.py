@@ -60,6 +60,13 @@ class API(Method):
         bb_kwargs = dict((config.get("backbone") or {}).get("kwargs") or {})
         ck = (config.get("classifier") or {}).get("kwargs") or {}
         bb_kwargs["task_num"] = int(ck.get("task_num") or config["task_num"])
+        # slab width = the per-task expansion ceiling ceil(step*K): retain
+        # ratios are >= 0 so expand_dim <= step*K (reference hardcodes
+        # step=0.5, K=10, api.py:60-61; here they are config-overridable and
+        # the slab must be sized to match)
+        _step = float(ck.get("step", 0.5))
+        _K = int(ck.get("K", 10))
+        bb_kwargs["k_slot"] = int(max(np.ceil(max(_step, 0.0) * _K), 1))
         config["backbone"] = {"name": "AlexNet_API", "kwargs": bb_kwargs}
         super().__init__(config, mesh_ctx)
         self.lame = float(self.kwargs.get("lame", 1.0))
@@ -272,6 +279,17 @@ class API(Method):
     def before_task(self, state, task_idx, task_data):
         if task_idx == 0:
             return state
+        # The reference's stage-1/2 observes project grad[:, :expand] where
+        # ``expand`` spans EVERY prior task's expansion (api.py:93-94 asserts
+        # expand == self.expand[i][cur_task-1], rebuilt by after_task(t-1)) —
+        # so task t-1's new rows are frozen/projected during measurement too.
+        # Refresh old_rows from the CURRENT counts before the protocol; the
+        # stale mask from before_task(t-1) excludes task t-1's rows.
+        mvars = dict(state.mvars)
+        mvars["old_rows"] = [
+            jnp.asarray(m, jnp.float32) for m in self._row_masks(self._ws_counts)
+        ]
+        state = state.replace(mvars=mvars)
         params, retain = self._run_stage_protocol(state, task_data)
         state = state.replace(params=params)
         self.per_layer_retain = retain  # diagnostic
@@ -279,7 +297,6 @@ class API(Method):
 
         ks = self.backbone.k_slot
         slot = task_idx - 1
-        params_np = {"ws": {}}
         counts = self._ws_counts.copy()
         new_ws = {}
         for li in range(5):

@@ -280,6 +280,7 @@ class CLLoRA(LoRAViTMethod):
 
     def before_task(self, state, task_idx, task_data):
         state = super().before_task(state, task_idx, task_data)
+        self._known_tasks = task_idx + 1  # bounds the eval fan-out
         params = jax.tree_util.tree_map(lambda x: x, state.params)
         mvars = dict(state.mvars)
         rng = np.random.RandomState(100 + task_idx)
@@ -383,17 +384,29 @@ class CLLoRA(LoRAViTMethod):
 
     # ------------------------------------------------------------------ eval
 
+    def _eval_tasks(self) -> int:
+        """Trace-time bound on the per-task diagonal forwards: tasks learned
+        so far (set by before_task; falls back to the full task_num, which is
+        always correct — e.g. pre-resume)."""
+        return int(getattr(self, "_known_tasks", self.task_num))
+
+    def eval_jit_key(self):
+        return self._eval_tasks()
+
     def eval_logits(self, state, x, task_id):
         """Block-diagonal inference (forward_diagonal + replace_fc): task
         t's features — current GENERAL adapters + task t's specific
         adapters and block weights — scored by cosine against task t's
         class prototypes. Zero (not-yet-filled) prototype rows score 0,
-        matching the reference's zero-initialized fc rows."""
+        matching the reference's zero-initialized fc rows. The loop runs
+        only over tasks learned so far (one full ViT forward each — the
+        reference's forward_diagonal is the same per-learned-task loop);
+        the trainer retraces per task via eval_jit_key."""
         params = state.params
         protos = state.mvars["protos"]
         pn = protos / (jnp.linalg.norm(protos, axis=1, keepdims=True) + 1e-12)
         logits = jnp.full((x.shape[0], self.num_class), -1e30, jnp.float32)
-        for t in range(self.task_num):
+        for t in range(self._eval_tasks()):
             onehot = (jnp.arange(self.task_num) == t).astype(jnp.float32)
             bw = jnp.where(
                 state.task == t, params["block_w"],

@@ -102,13 +102,6 @@ class DER(Method):
             new_state = bb_state
         return jnp.transpose(feats, (1, 0, 2)), new_state  # (B, T, D)
 
-    def _concat_features(self, params, mvars, x, train):
-        feats, new_state = self._stack_apply(
-            params["backbone"], mvars["model_state"], x, train
-        )
-        feats = feats * mvars["active"][None, :, None]
-        flat = feats.reshape(feats.shape[0], -1)  # (B, T*D)
-        return feats, flat, new_state
 
     def _n_active(self) -> int:
         """Trace-time count of created extractors (set by before_task; falls
@@ -251,11 +244,34 @@ class DER(Method):
         params["head"]["Dense_0"]["kernel"] = k
         return state.replace(params=params)
 
+    def eval_jit_key(self):
+        # eval/herding run only the created extractors (trace-time bound);
+        # the trainer retraces its eval programs when the count grows
+        return self._n_active()
+
+    def _bounded_flat(self, state, x):
+        """Concat features of the ACTIVE extractor prefix, zero-padded to the
+        full (B, T*D) width. Numerically identical to the masked full-stack
+        concat (``mvars['active']`` zeroes the same blocks) but runs n
+        forwards instead of task_num — eval after task 0 of a 10-task run is
+        10x cheaper. The active mask still applies for the pre-resume
+        fallback (n == task_num with fewer created extractors)."""
+        n = self._n_active()
+        bb = jax.tree_util.tree_map(lambda p: p[:n], state.params["backbone"])
+        bst = jax.tree_util.tree_map(
+            lambda s: s[:n], state.mvars["model_state"]
+        )
+        feats, _ = self._stack_apply(bb, bst, x, train=False)
+        feats = feats * state.mvars["active"][None, :n, None]
+        flat = feats.reshape(feats.shape[0], -1)  # (B, n*D)
+        return jnp.pad(
+            flat, ((0, 0), (0, (self.task_num - n) * self.feat_dim))
+        )
+
     def eval_logits(self, state, x, task_id):
-        _, flat, _ = self._concat_features(state.params, state.mvars, x, train=False)
+        flat = self._bounded_flat(state, x)
         logits = self._fc.apply({"params": state.params["head"]}, flat)
         return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
 
     def herding_features(self, state, x):
-        _, flat, _ = self._concat_features(state.params, state.mvars, x, train=False)
-        return flat
+        return self._bounded_flat(state, x)

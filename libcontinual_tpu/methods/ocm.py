@@ -282,8 +282,11 @@ class OCM(Method):
         ``[pair; pair_r]`` (reference ocm.py:953-955 ``t = cat(images_pair,
         images_pair_r)``) so BatchNorm statistics are shared across the two
         sets; the loss is replay CE + three NT-Xent terms + old-logit MSE."""
-        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
-        x_u8, y, w = batch["image"], batch["label"], batch.get("weight")
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+        # no incoming-batch CE (and hence no batch weight) here: the
+        # reference's incremental observe computes only replay CE +
+        # contrastive terms + MSE (ocm.py:939-986)
+        x_u8, y = batch["image"], batch["label"]
         buf = state.mvars["buffer"]
         mx, my, mw = sample_random(buf, k1, self._buffer_batch())
 

@@ -145,7 +145,9 @@ class AlexNetAPI(nn.Module):
     """
 
     slots: int = 9  # task_num - 1 expansion slots
-    k_slot: int = 5  # max extras per task: ceil(step*K) = ceil(0.5*10)
+    k_slot: int = 5  # max extras per task: ceil(step*K), 5 at the
+    # reference's hardcoded step=0.5, K=10 (api.py:60-61); sized from the
+    # method config by alexnet_api()
     dropout1: float = 0.2
     dropout2: float = 0.5
     dtype: Any = jnp.float32
@@ -235,6 +237,7 @@ class AlexNetAPI(nn.Module):
 def alexnet_api(**kwargs):
     return AlexNetAPI(
         slots=int(kwargs.get("task_num", 10)) - 1,
+        k_slot=int(kwargs.get("k_slot", 5)),
         dtype=kwargs.get("dtype", jnp.float32),
     )
 

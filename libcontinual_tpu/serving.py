@@ -121,10 +121,18 @@ class ServingModel:
 def export_from_trainer(trainer, **kw) -> bytes:
     """Convenience: export the trainer's current method/state.
 
-    ``image_hw`` defaults to the config's raw image geometry.
+    ``image_hw`` defaults to the dataset's STORED geometry (what the live
+    eval path feeds the in-graph transforms — trainer.py reads
+    ``train_stream.task(0).images.shape[1:]``), not the post-resize
+    ``image_size`` target: a ViT-on-CIFAR config stores 32x32 and resizes
+    to 224 inside the graph, so the artifact must accept 32x32.
     """
     cfg = trainer.config
-    hw = kw.pop("image_hw", None) or (
-        int(cfg["image_size"]), int(cfg["image_size"]), 3
-    )
+    hw = kw.pop("image_hw", None)
+    if hw is None:
+        stream = getattr(trainer, "train_stream", None)
+        if stream is not None:
+            hw = tuple(int(d) for d in stream.task(0).images.shape[1:])
+        else:  # config-only fallback
+            hw = (int(cfg["image_size"]), int(cfg["image_size"]), 3)
     return export_inference(trainer.method, trainer.state, image_hw=hw, **kw)

@@ -82,3 +82,46 @@ def test_api_til(tiny_config):
         li = next(i for i, e in enumerate(expected) if e)
         slab = np.asarray(tr.state.params["backbone"][f"ws{li}"][0])
         assert np.abs(slab[:, :expected[li]]).sum() > 0
+
+
+def test_api_stage_protocol_freezes_prior_expansions(tiny_config):
+    """The stage-1/2 measurement at task t must run with old_rows covering
+    EVERY prior task's expansion rows (reference observe projects
+    grad[:, :expand] where expand == self.expand[i][cur_task-1], rebuilt by
+    after_task(t-1) to include task t-1's widening, api.py:93-94, 200-203) —
+    regression for the one-task-stale mask."""
+    import copy
+
+    import jax
+
+    from libcontinual_tpu.registry import METHODS
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["task_num"] = 3
+    cfg["classifier"] = {
+        "name": "API",
+        "kwargs": {"num_class": 12, "feat_dim": 2048, "init_cls_num": 4,
+                   "inc_cls_num": 4, "task_num": 3},
+    }
+    m = METHODS.get("API")(cfg)
+    state = m.init_state(jax.random.PRNGKey(0), (32, 32, 3))
+
+    # simulate task-1's expansion having widened layers by [1,2,0,3,1]
+    m._ws_counts[:, 0] = [1, 2, 0, 3, 1]
+    seen = {}
+
+    def fake_protocol(st, task_data):
+        seen["old_rows"] = [np.asarray(r) for r in st.mvars["old_rows"]]
+        return st.params, np.full(5, 0.5)  # retain=step -> zero expansion
+
+    m._run_stage_protocol = fake_protocol
+    m._importance_ws = lambda st, td: [np.eye(b) for b in (3, 64, 128, 1024, 2048)]
+
+    class _TD:  # before_task only touches task_data inside the stubs
+        pass
+
+    state = m.before_task(state, 2, _TD())
+    want = m._row_masks(np.array(
+        [[1, 0], [2, 0], [0, 0], [3, 0], [1, 0]], np.int64)[:, :m.backbone.slots])
+    for got, exp in zip(seen["old_rows"], want):
+        np.testing.assert_array_equal(got, exp)

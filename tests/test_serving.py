@@ -101,3 +101,29 @@ def test_export_sharded_dp(tiny_config):
     live_x = tr.method.augment(None, jnp.asarray(x_np), train=False)
     live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
     np.testing.assert_allclose(served, live, rtol=1e-4, atol=1e-4)
+
+
+def test_export_default_geometry_is_storage_not_resize_target(tiny_config):
+    """A resize pipeline (stored 32x32, in-graph Resize to 64 — the shape of
+    every ViT-on-CIFAR config) must export an artifact that accepts the RAW
+    stored geometry the live eval path consumes, not the post-resize target
+    (regression: export_from_trainer used to default to cfg['image_size'])."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg["epoch"] = 1
+    cfg["storage_size"] = 32
+    cfg["image_size"] = 64
+    resize = {"Resize": {"size": 64}}
+    cfg["train_trfms"] = [resize] + cfg["train_trfms"]
+    cfg["test_trfms"] = [resize] + cfg["test_trfms"]
+    tr = Trainer(cfg)
+    tr.train_loop()
+    assert tr.train_stream.task(0).images.shape[1:] == (32, 32, 3)
+
+    blob = export_from_trainer(tr, batch_size=4, platforms=("cpu",))
+    model = ServingModel.load(blob)
+    rng = np.random.RandomState(9)
+    x = rng.rand(4, 32, 32, 3).astype(np.float32)  # raw storage geometry
+    served = np.asarray(model(jnp.asarray(x)))
+    live_x = tr.method.augment(None, jnp.asarray(x), train=False)
+    live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
+    np.testing.assert_allclose(served, live, rtol=1e-5, atol=1e-5)
