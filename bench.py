@@ -72,7 +72,36 @@ def build():
     return method, state, cfg
 
 
+def _require_devices(timeout_s: float = 600.0):
+    """Fail fast (with a parseable JSON line) when the TPU tunnel is down.
+
+    ``jax.devices()`` on the axon tunnel can block indefinitely during an
+    outage; probe it from a daemon thread so the driver records an explicit
+    error instead of hanging the whole round."""
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", timeout_s))
+    found = []
+    probe = threading.Thread(target=lambda: found.extend(jax.devices()),
+                             daemon=True)
+    probe.start()
+    probe.join(timeout_s)
+    if probe.is_alive() or not found:
+        print(json.dumps({
+            "metric": "images/sec/chip (ViT-B/16 L2P train step, "
+                      "CIFAR-100 b10-inc10 geometry)",
+            "value": None,
+            "unit": "images/sec/chip",
+            "error": f"device backend unreachable after {timeout_s:.0f}s "
+                     "(TPU tunnel outage) — no measurement taken",
+        }))
+        os._exit(2)
+    return found
+
+
 def main():
+    _require_devices()
     method, state, cfg = build()
     bs = cfg["batch_size"]
     rng = np.random.RandomState(0)
