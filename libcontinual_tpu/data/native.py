@@ -61,6 +61,18 @@ def gather_rows(src: np.ndarray, indices: np.ndarray) -> np.ndarray:
     if lib is None or src.dtype != np.uint8 or not src.flags.c_contiguous:
         return src[indices]
     idx = np.ascontiguousarray(indices, np.int64)
+    n = src.shape[0]
+    if idx.size:
+        # the C memcpy loop does no bounds checks — resolve numpy's negative
+        # indexing here and refuse out-of-range values so the native path has
+        # exactly the fallback's semantics instead of undefined behavior
+        idx = np.where(idx < 0, idx + n, idx)
+        lo, hi = int(idx.min()), int(idx.max())
+        if lo < 0 or hi >= n:
+            raise IndexError(
+                f"gather_rows: index out of range for {n} rows "
+                f"(resolved min {lo}, max {hi})"
+            )
     out = np.empty((len(idx),) + src.shape[1:], np.uint8)
     row_bytes = int(np.prod(src.shape[1:]))
     lib.lct_gather_u8(

@@ -114,7 +114,7 @@ def _shard_batchwise(fn, n_batch_args, n_replicated_args=0):
     ``n_batch_args`` arguments split on axis 0, the rest are replicated.
     Mesh axes not named in the specs (e.g. 'model') replicate the compute —
     attention activations are not tensor-parallel (parallel/tp.py)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map  # jax>=0.8 spelling (experimental alias removed)
     from jax.sharding import PartitionSpec as P
 
     mesh = _shard_mesh()

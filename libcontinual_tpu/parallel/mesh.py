@@ -56,8 +56,11 @@ def make_mesh(
         model = 1
     if data == -1:
         data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    if data < 1 or data * model > n:
+        # data < 1 happens when model > device count under data=-1: fail here
+        # with the misconfiguration instead of building a 0-device Mesh that
+        # dies later in XLA with an unrelated-looking sharding error
+        raise ValueError(f"mesh {data}x{model} needs {max(data, 1) * model} devices, have {n}")
     dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     mesh = Mesh(dev_array, axis_names=("data", "model"))
     return MeshContext(mesh=mesh, batch_spec=P("data"), replicated_spec=P())

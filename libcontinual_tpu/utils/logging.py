@@ -29,6 +29,13 @@ class Logger:
         self._jsonl = None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
+            # one run directory at a time: drop (and close) file handlers a
+            # previous Trainer attached to this shared logger, or every line
+            # from run N would also be appended to run N-1's train.log
+            for old in [h for h in self._log.handlers
+                        if isinstance(h, logging.FileHandler)]:
+                self._log.removeHandler(old)
+                old.close()
             fh = logging.FileHandler(os.path.join(save_dir, "train.log"))
             fh.setFormatter(
                 logging.Formatter("[%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S")
@@ -65,5 +72,7 @@ _DEFAULT: Optional[Logger] = None
 def get_logger(save_dir: Optional[str] = None) -> Logger:
     global _DEFAULT
     if _DEFAULT is None or save_dir:
+        if _DEFAULT is not None and save_dir:
+            _DEFAULT.close()  # release the previous run's events.jsonl handle
         _DEFAULT = Logger(save_dir)
     return _DEFAULT

@@ -16,6 +16,9 @@ import numpy as np
 def init_seed(seed: int = 0, deterministic: bool = True) -> None:
     random.seed(seed)
     np.random.seed(seed)
+    # affects CHILD processes only — hash randomization of the running
+    # interpreter is fixed at startup (nothing in this framework depends on
+    # str-hash order; this mirrors the reference's utils.py init_seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
     # XLA on TPU is deterministic for a fixed program + seed; nothing further
     # to toggle (the reference flips cudnn benchmark/deterministic flags here).

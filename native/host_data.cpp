@@ -21,10 +21,16 @@
 namespace {
 
 // Run fn(i) for i in [0, n) over a pool sized to hardware concurrency.
+// ``total_bytes`` is the work size: thread creation costs ~50-100 us each,
+// so small jobs (a 128-row transfer batch is ~400 KB) run serially — below
+// the cutoff a single memcpy loop beats spawning a fleet of threads.
 template <typename F>
-void parallel_for(int64_t n, F fn) {
+void parallel_for(int64_t n, int64_t total_bytes, F fn) {
+  constexpr int64_t kBytesPerThread = 4ll << 20;  // 4 MB of memcpy per thread
   unsigned hw = std::thread::hardware_concurrency();
-  int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw, n));
+  int64_t by_work = total_bytes > 0 ? total_bytes / kBytesPerThread : 0;
+  int64_t n_threads = std::max<int64_t>(
+      1, std::min<int64_t>(std::min<int64_t>(hw, n), by_work));
   if (n_threads == 1) {
     for (int64_t i = 0; i < n; ++i) fn(i);
     return;
@@ -55,7 +61,7 @@ extern "C" {
 // Gather rows: out[i] = src[indices[i]] for row_bytes-sized rows.
 void lct_gather_u8(const uint8_t* src, const int64_t* indices, uint8_t* out,
                    int64_t n_rows, int64_t row_bytes) {
-  parallel_for(n_rows, [&](int64_t i) {
+  parallel_for(n_rows, n_rows * row_bytes, [&](int64_t i) {
     std::memcpy(out + i * row_bytes, src + indices[i] * row_bytes, row_bytes);
   });
 }
@@ -63,7 +69,7 @@ void lct_gather_u8(const uint8_t* src, const int64_t* indices, uint8_t* out,
 // Concatenate two row blocks into out (buffer-into-task-data concat).
 void lct_concat_u8(const uint8_t* a, int64_t n_a, const uint8_t* b,
                    int64_t n_b, uint8_t* out, int64_t row_bytes) {
-  parallel_for(n_a + n_b, [&](int64_t i) {
+  parallel_for(n_a + n_b, (n_a + n_b) * row_bytes, [&](int64_t i) {
     const uint8_t* srcp =
         (i < n_a) ? a + i * row_bytes : b + (i - n_a) * row_bytes;
     std::memcpy(out + i * row_bytes, srcp, row_bytes);

@@ -40,3 +40,17 @@ def test_gather_rows_fallback_on_noncontiguous():
     src = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)[:, ::2]
     idx = np.asarray([2, 0, 3])
     assert (native.gather_rows(src, idx) == src[idx]).all()
+
+
+@needs_lib
+def test_gather_rows_negative_and_bounds():
+    """The C memcpy loop has no bounds checks, so the wrapper must resolve
+    numpy-style negative indices and refuse out-of-range ones (the fallback
+    raises IndexError; UB on the native path would silently corrupt data)."""
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 255, (9, 4, 4, 3), np.uint8)
+    idx = np.asarray([-1, 0, -9, 8])
+    assert (native.gather_rows(src, idx) == src[idx]).all()
+    for bad in ([9], [-10]):
+        with pytest.raises(IndexError):
+            native.gather_rows(src, np.asarray(bad))

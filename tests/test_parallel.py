@@ -159,3 +159,14 @@ def test_trainer_tensor_parallel_2x2(tiny_config):
     res = tr.train_loop()
     assert np.isfinite(res["acc_table"]).all()
     assert res["acc_table"][0, 0] > 30.0  # learns under dp x tp sharding
+
+
+def test_make_mesh_rejects_oversized_model_axis():
+    """model > device count under data=-1 used to build a 0-device Mesh that
+    died later inside XLA; it must raise the misconfiguration here."""
+    import pytest
+
+    from libcontinual_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(data=-1, model=1024)

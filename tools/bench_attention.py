@@ -18,23 +18,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed_print, timed_chain  # noqa: E402
+
+
 def timeit(fn, args, iters=30):
-    @jax.jit
-    def loop(c0, *a):
-        def body(c, _):
-            # perturb one input by the carry so the body can't be CSE'd out
-            a0 = a[0] + (c * 0).astype(a[0].dtype)
-            o = fn(a0, *a[1:])
-            return c + jnp.sum(o[0, 0].astype(jnp.float32)), None
-
-        s, _ = jax.lax.scan(body, c0, None, length=iters)
-        return s
-
-    float(loop(jnp.float32(0), *args))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(jnp.float32(0), *args))
-    dt = time.perf_counter() - t0
-    return dt / iters
+    return timed_chain(fn, args, iters=iters)
 
 
 def xla_attn(q, k, v, scale):
@@ -210,12 +202,10 @@ def xla_manual(q, k, v, scale, nomax=False, bf16_scores=False):
 
 
 def pad_to(x, axis, mult):
-    pad = (-x.shape[axis]) % mult
-    if pad == 0:
-        return x
-    w = [(0, 0)] * x.ndim
-    w[axis] = (0, pad)
-    return jnp.pad(x, w)
+    # single copy lives in ops/attention.py (returns (padded, pad))
+    from libcontinual_tpu.ops.attention import _pad_to
+
+    return _pad_to(x, axis, mult)[0]
 
 
 def pallas_v2(q, k, v, scale, g=8, subtract_max=True, smult=16):

@@ -21,30 +21,15 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed_print, timed_chain  # noqa: E402
+
+
 def timed(name, fn, x0, iters=10):
-    """fn(x_perturbed) -> array. Chains iterations via a runtime-zero eps."""
-
-    @jax.jit
-    def run(x_in):
-        def body(eps, _):
-            if jnp.issubdtype(x_in.dtype, jnp.floating):
-                xp = x_in + eps.astype(x_in.dtype)
-            else:
-                xp = x_in + eps.astype(jnp.float32).astype(x_in.dtype)
-            out = fn(xp)
-            # 1e-30 underflows to 0 in bf16/uint8 at runtime, but XLA cannot
-            # prove that, so the chain is not hoistable
-            return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
-
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return s
-
-    float(run(x0))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(x0))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:28s} {dt*1e3:8.2f} ms", flush=True)
-    return dt
+    return timed_print(name, fn, (x0,), iters=iters)
 
 
 def main():

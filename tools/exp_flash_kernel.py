@@ -23,22 +23,15 @@ sys.path.insert(0, ".")
 from libcontinual_tpu.ops.attention import _xla_attention  # noqa: E402
 
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timed_print, timed_chain  # noqa: E402
+
+
 def timed(name, fn, x0, iters=20):
-    @jax.jit
-    def run(x_in):
-        def body(eps, _):
-            out = fn(x_in + eps.astype(x_in.dtype))
-            return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
-
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return s
-
-    float(run(x0))
-    t0 = time.perf_counter()
-    float(run(x0))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:44s} {dt*1e3:8.3f} ms", flush=True)
-    return dt
+    return timed_print(name, fn, (x0,), iters=iters)
 
 
 def fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, g):

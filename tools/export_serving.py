@@ -14,9 +14,10 @@ boundary), then writes a single self-contained artifact; serve it with:
     logits = model(images)        # (B, H, W, C) float32 raw images
 """
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
