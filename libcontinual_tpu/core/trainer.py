@@ -253,8 +253,8 @@ class Trainer:
     def _epoch_indices(self, n: int, epoch_seed: int):
         """Shuffled, padded index matrix + weights (pad positions weigh 0).
         The shuffle runs in the C++ host engine when built (deterministic
-        xorshift Fisher-Yates; numpy fallback is deterministic too, with a
-        different but equally valid permutation)."""
+        xorshift Fisher-Yates); the python fallback reproduces the exact same
+        stream, so seeded runs match across environments."""
         from libcontinual_tpu.data import native
 
         perm = native.shuffled_indices(n, epoch_seed)

@@ -58,7 +58,9 @@ def available() -> bool:
 def gather_rows(src: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """out[i] = src[indices[i]] — multithreaded for uint8 row blocks."""
     lib = _lib()
-    if lib is None or src.dtype != np.uint8 or not src.flags.c_contiguous:
+    row_bytes = int(np.prod(src.shape[1:])) if src.ndim > 1 else 1
+    small = len(indices) * row_bytes < (1 << 20)  # ctypes overhead dominates
+    if lib is None or small or src.dtype != np.uint8 or not src.flags.c_contiguous:
         return src[indices]
     idx = np.ascontiguousarray(indices, np.int64)
     n = src.shape[0]
@@ -99,10 +101,33 @@ def concat_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _xorshift_permutation(n: int, seed: int) -> np.ndarray:
+    """Pure-python mirror of host_data.cpp lct_shuffled_indices: splitmix64
+    seed mix + xorshift64* Fisher-Yates. Exactly the native stream, so a
+    seeded run produces the SAME batch order whether or not libhostdata.so
+    is built on the machine."""
+    mask = (1 << 64) - 1
+    s = (seed + 0x9E3779B97F4A7C15) & mask
+    s = ((s ^ (s >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    s = ((s ^ (s >> 27)) * 0x94D049BB133111EB) & mask
+    s ^= s >> 31
+    if not s:
+        s = 0x9E3779B97F4A7C15
+    out = np.arange(n, dtype=np.int64)
+    for i in range(n - 1, 0, -1):
+        s ^= s >> 12
+        s = (s ^ (s << 25)) & mask
+        s ^= s >> 27
+        r = (s * 0x2545F4914F6CDD1D) & mask
+        j = r % (i + 1)
+        out[i], out[j] = out[j], out[i]
+    return out
+
+
 def shuffled_indices(n: int, seed: int) -> np.ndarray:
     lib = _lib()
     if lib is None:
-        return np.random.RandomState(seed).permutation(n)
+        return _xorshift_permutation(n, seed)
     out = np.empty((n,), np.int64)
     # the C++ side remaps a 0 state internally (host_data.cpp); clamping
     # here would collapse seeds 0 and 1 onto the same stream

@@ -27,6 +27,8 @@ from libcontinual_tpu.registry import METHODS
 
 @METHODS.register("DAP")
 class DAP(PromptViTMethod):
+    block_ln_eps = 1e-6  # reference vit_dap.py is a timm fork
+
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.length = int(self.kwargs.get("length", 5))

@@ -119,7 +119,12 @@ class DMNSP(Method):
     def __init__(self, config, mesh_ctx=None):
         # ensure the backbone carries adapters
         bk = config["backbone"].setdefault("kwargs", {})
+        if bk is None:
+            bk = config["backbone"]["kwargs"] = {}
         bk.setdefault("adapter_dim", bk.get("ffn_num", 64))
+        # reference dmnsp.py builds on transformer.py's CLIP-style blocks
+        # (torch-default LayerNorm eps 1e-5)
+        bk.setdefault("block_ln_eps", 1e-5)
         super().__init__(config, mesh_ctx)
         self.label_smoothing = float(self.kwargs.get("label_smoothing", 0.0))
         self.lamda_scale = float(self.kwargs.get("lamda_scale", 30.0))

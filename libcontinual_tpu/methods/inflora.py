@@ -103,6 +103,7 @@ def dual_gpm_update(
 @METHODS.register("InfLoRA")
 class InfLoRA(LoRAViTMethod):
     lora_slots = ("k", "v")
+    block_ln_eps = 1e-6  # reference vit_inflora.py is a timm fork
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
@@ -144,6 +145,10 @@ class InfLoRA(LoRAViTMethod):
 class InfLoRAOPT(InfLoRA):
     """InfLoRA + Gaussian feature statistics & compact classifier retraining
     (reference InfLoRA_opt.py:291-457)."""
+
+    # unlike InfLoRA-plain, the OPT variant's reference backbone IS the
+    # CLIP-style transformer.py stack (InfLoRA_opt.py imports it directly)
+    block_ln_eps = 1e-5
 
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)

@@ -34,8 +34,19 @@ class LoRAViTMethod(Method):
 
     concat_buffer = False
     lora_slots = ("k", "v")  # which of q/k/v get LoRA (InfLoRA: k,v)
+    #: block LayerNorm epsilon injected into vit.py backbones: most of this
+    #: family's reference backbones are transformer.py's CLIP-style
+    #: ResidualAttentionBlock (torch-default eps 1e-5, transformer.py:1289);
+    #: InfLoRA-plain overrides to the timm 1e-6 (vit_inflora.py:375)
+    block_ln_eps = 1e-5
 
     def __init__(self, config, mesh_ctx=None):
+        bname = str((config.get("backbone") or {}).get("name", ""))
+        if "clip" not in bname.lower():
+            bk = config["backbone"].setdefault("kwargs", {})
+            if bk is None:
+                bk = config["backbone"]["kwargs"] = {}
+            bk.setdefault("block_ln_eps", self.block_ln_eps)
         super().__init__(config, mesh_ctx)
         bk = (config["backbone"].get("kwargs") or {})
         self.rank = int(bk.get("rank", self.kwargs.get("rank", 10)))

@@ -42,8 +42,17 @@ class PromptViTMethod(Method):
     grad clip 1.0 (reference l2p.py:104)."""
 
     concat_buffer = False
+    #: the reference prompt ViT (backbone/vit.py ViTZoo) is built on
+    #: transformer.py's CLIP-style ResidualAttentionBlock — torch-default
+    #: LayerNorm eps 1e-5 in blocks (final norm stays timm 1e-6);
+    #: DAP overrides to 1e-6 (its reference vit_dap.py is a timm fork)
+    block_ln_eps = 1e-5
 
     def __init__(self, config, mesh_ctx=None):
+        bk = config["backbone"].setdefault("kwargs", {})
+        if bk is None:
+            bk = config["backbone"]["kwargs"] = {}
+        bk.setdefault("block_ln_eps", self.block_ln_eps)
         super().__init__(config, mesh_ctx)
         self.tx = optax.chain(optax.clip_by_global_norm(1.0), self.tx)
         if self.init_tx is not None:

@@ -63,7 +63,9 @@ class TextTransformer(nn.Module):
                 self.width, self.num_heads,
                 adapter_dim=self.adapter_dim,
                 moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-                dtype=self.dtype, act="quick_gelu", name=f"block_{i}",
+                dtype=self.dtype, act="quick_gelu",
+                ln_eps=1e-5,  # OpenAI CLIP = torch LayerNorm default
+                name=f"block_{i}",
             )
             if self.moe_experts > 0:
                 moe_rng = (
@@ -78,9 +80,9 @@ class TextTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(
             x.astype(jnp.float32)
         )
-        # features at the EOT token (highest token id, reference clip.py:380)
-        eot_idx = jnp.argmax(tokens, axis=-1)
-        feats = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+        # features at the EOT token (highest token id, reference clip.py:380;
+        # eot_pos above is the same argmax)
+        feats = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
         proj = self.param(
             "text_projection", nn.initializers.normal(0.02), (self.width, self.embed_dim)
         )
@@ -122,6 +124,8 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             ln_pre=True,  # OpenAI visual stem LayerNorm
             act="quick_gelu",
+            block_ln_eps=1e-5,  # OpenAI CLIP = torch LayerNorm default
+            final_ln_eps=1e-5,  # ln_post
             name="visual",
         )
         self.text = TextTransformer(
@@ -270,7 +274,7 @@ def clip(**kwargs):
     return CLIP(
         image_size=int(kwargs.get("img_size", kwargs.get("image_size", 224))),
         adapter_dim=int(kwargs.get("adapter_dim", 0)),
-        moe_experts=int(kwargs.get("moe_experts", kwargs.get("experts_num", 0))),
+        moe_experts=int(kwargs.get("moe_experts", kwargs.get("experts_num", 0)) or 0),
         moe_top_k=int(kwargs.get("moe_top_k", kwargs.get("top_k", 2))),
         moe_text_gate=str(kwargs.get("moe_text_gate", "sot")),
         dtype=kwargs.get("dtype", jnp.bfloat16),

@@ -405,6 +405,7 @@ FEATURE_DIMS = {
     "cifar_resnet20": 64,
     "cifar_resnet32": 64,
     "cifar_resnet32_V2": 64,
+    "cifar_resnet32_bic": 64,
     "cifar_resnet32_lucir": 64,
     "resnet32_V2": 64,
     "resnet18_cbam": 512,

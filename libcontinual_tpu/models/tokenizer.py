@@ -18,13 +18,16 @@ from typing import List, Optional
 
 import numpy as np
 
-DEFAULT_VOCAB_PATHS = [
-    os.environ.get("CLIP_BPE_VOCAB", ""),
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "bpe_simple_vocab_16e6.txt.gz",
-    ),
-]
+def default_vocab_paths() -> list:
+    # read CLIP_BPE_VOCAB at call time, not import time, so tests/runners can
+    # set it after this module is imported
+    return [
+        os.environ.get("CLIP_BPE_VOCAB", ""),
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "bpe_simple_vocab_16e6.txt.gz",
+        ),
+    ]
 
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
@@ -74,7 +77,7 @@ class SimpleTokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         path = bpe_path
         if path is None:
-            for p in DEFAULT_VOCAB_PATHS:
+            for p in default_vocab_paths():
                 if p and os.path.exists(p):
                     path = p
                     break

@@ -188,6 +188,11 @@ class ViTAttention(nn.Module):
             sarr = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             ) / np.sqrt(hd)
+            if attn_mask.shape[-1] != k.shape[1]:
+                # prefix_kv widened the key axis: prefix positions attend
+                # freely (left-pad zeros), the causal part keeps its mask
+                pad = k.shape[1] - attn_mask.shape[-1]
+                attn_mask = jnp.pad(attn_mask, ((0, 0), (pad, 0)))
             sarr = sarr + attn_mask[None, None, :, :]
             p = jax.nn.softmax(sarr, axis=-1).astype(self.dtype)
             o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
@@ -287,6 +292,9 @@ class ViTBlock(nn.Module):
     ssf: bool = False
     dtype: Any = jnp.bfloat16
     act: str = "gelu"
+    # torch nn.LayerNorm default 1e-5 for the reference's CLIP-style
+    # ResidualAttentionBlock family (transformer.py:1289); timm ViTs use 1e-6
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, prefix_kv=None, qkv_delta=None, attn_mask=None,
@@ -294,10 +302,10 @@ class ViTBlock(nn.Module):
                  x2=None, delta2_fn=None):
         # bf16 residual stream; LayerNorm statistics still accumulate in f32
         # internally (flax upcasts), halving HBM traffic vs an f32 stream
-        ln1_mod = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")
+        ln1_mod = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")
         attn_mod = ViTAttention(self.dim, self.num_heads, self.dtype,
                                 name="attn")
-        ln2_mod = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")
+        ln2_mod = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")
         mlp_mod = MLP(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
                       act=self.act, name="mlp")
         ln1 = ln1_mod(x)
@@ -389,6 +397,11 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.bfloat16
     ln_pre: bool = False  # OpenAI-CLIP visual stem LayerNorm before blocks
     act: str = "gelu"  # "quick_gelu" for CLIP towers
+    # the reference's transformer.py VisionTransformer is MIXED-eps: CLIP-style
+    # blocks at torch-default 1e-5 but a timm-style final norm at 1e-6
+    # (transformer.py:1289 vs :2203); both knobs default to the timm 1e-6
+    block_ln_eps: float = 1e-6
+    final_ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(
@@ -446,6 +459,13 @@ class VisionTransformer(nn.Module):
             n_prompt = prepend_tokens.shape[1]
             x = jnp.concatenate([prepend_tokens.astype(self.dtype), x], axis=1)
 
+        if self.moe_experts > 0 and (capture or dual_delta_fn is not None):
+            # the MoE block path threads neither capture nor the dual stream;
+            # failing loudly beats returning empty attn_inputs / raw-embedding
+            # "features" (no shipped config pairs MoE with these methods)
+            raise NotImplementedError(
+                "moe_experts > 0 does not support capture/dual_delta_fn"
+            )
         attn_inputs = []
         moe_aux = 0.0
         x2 = x if dual_delta_fn is not None else None
@@ -474,6 +494,7 @@ class VisionTransformer(nn.Module):
                 self.ssf,
                 self.dtype,
                 act=self.act,
+                ln_eps=self.block_ln_eps,
                 name=f"block_{i}",
             )
             if self.vpt_len > 0:
@@ -527,7 +548,7 @@ class VisionTransformer(nn.Module):
                 else:
                     x = block(x, prefix_kv=pkv, qkv_delta=delta)
 
-        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        final_norm = nn.LayerNorm(epsilon=self.final_ln_eps, dtype=jnp.float32, name="norm")
         x = final_norm(x.astype(jnp.float32))
         if feature_mode == "prompt_mean" and n_prompt > 0:
             feats = jnp.mean(x[:, :n_prompt], axis=1)
@@ -589,9 +610,15 @@ def _load_timm_torch_into(params: Dict, sd: Dict):
     """Map timm torch state-dict names (blocks.i.norm1/attn.qkv/mlp.fc1...)
     into ours — the remap the reference does at vit.py:69-84 plus the
     torch->flax layout transposes."""
+    problems = []
+
     def put(dst, key, value):
-        if key in dst and dst[key].shape == value.shape:
-            dst[key] = value.astype(dst[key].dtype)
+        if key not in dst:
+            return  # param not present in this variant (e.g. no adapter)
+        if dst[key].shape != value.shape:
+            problems.append(f"{key}: checkpoint {value.shape} vs model {dst[key].shape}")
+            return
+        dst[key] = value.astype(dst[key].dtype)
 
     if "patch_embed.proj.weight" in sd:
         put(params["patch_embed"], "kernel",
@@ -622,19 +649,62 @@ def _load_timm_torch_into(params: Dict, sd: Dict):
         put(p["mlp"]["fc1"], "bias", sd[f"{b}.mlp.fc1.bias"])
         put(p["mlp"]["fc2"], "kernel", sd[f"{b}.mlp.fc2.weight"].T)
         put(p["mlp"]["fc2"], "bias", sd[f"{b}.mlp.fc2.bias"])
+    if problems:
+        # a silent partial load leaves critical params at random init — the
+        # run would "train" on a half-random backbone with no error
+        raise ValueError(
+            "timm checkpoint does not match this model's geometry: "
+            + "; ".join(problems)
+        )
 
 
 def _load_npz_into(params: Dict, raw: Dict):
-    """Map timm/augreg npz names (Transformer/encoderblock_i/...) into ours."""
+    """Map timm/augreg npz names (Transformer/encoderblock_i/...) into ours.
+
+    Shapes are validated on assignment: a wrong-geometry npz used to install
+    mismatched arrays directly and fail only later inside apply() with an
+    unrelated-looking shape error.
+    """
     def get(name):
         return raw[name] if name in raw else None
+
+    class _Checked:
+        def __init__(self, dst, path):
+            self._dst, self._path = dst, path
+
+        def __setitem__(self, key, value):
+            old = self._dst[key]
+            if tuple(old.shape) != tuple(np.shape(value)):
+                raise ValueError(
+                    f"npz checkpoint does not match this model's geometry: "
+                    f"{self._path}/{key}: checkpoint {np.shape(value)} vs "
+                    f"model {old.shape}"
+                )
+            self._dst[key] = value
+
+        def __getitem__(self, key):
+            v = self._dst[key]
+            if isinstance(v, dict):
+                return _Checked(v, f"{self._path}/{key}")
+            return v
+
+    params = {
+        k: (_Checked(v, k) if isinstance(v, dict) else v)
+        for k, v in params.items()
+    }
 
     if (v := get("embedding/kernel")) is not None:
         params["patch_embed"]["kernel"] = v
         params["patch_embed"]["bias"] = raw["embedding/bias"]
     if (v := get("cls")) is not None:
+        if tuple(params["cls_token"].shape) != tuple(np.shape(v)):
+            raise ValueError(
+                f"npz cls_token {np.shape(v)} vs model {params['cls_token'].shape}")
         params["cls_token"] = v
     if (v := get("Transformer/posembed_input/pos_embedding")) is not None:
+        if tuple(params["pos_embed"].shape) != tuple(np.shape(v)):
+            raise ValueError(
+                f"npz pos_embed {np.shape(v)} vs model {params['pos_embed'].shape}")
         params["pos_embed"] = v
     if (v := get("Transformer/encoder_norm/scale")) is not None:
         params["norm"]["scale"] = v
@@ -695,6 +765,8 @@ def vitzoo(**kwargs):
         moe_top_k=int(kwargs.get("moe_top_k", 2)),
         dtype=kwargs.get("dtype", jnp.bfloat16),
         act="quick_gelu" if act.lower() in ("quickgelu", "quick_gelu") else "gelu",
+        block_ln_eps=float(kwargs.get("block_ln_eps", 1e-6)),
+        final_ln_eps=float(kwargs.get("final_ln_eps", 1e-6)),
     )
 
 
@@ -737,4 +809,6 @@ def vit_tiny_test(**kwargs):
         ssf=bool(kwargs.get("ssf", False)),
         vpt_len=int(kwargs.get("vpt_len", 0)),
         dtype=kwargs.get("dtype", jnp.float32),
+        block_ln_eps=float(kwargs.get("block_ln_eps", 1e-6)),
+        final_ln_eps=float(kwargs.get("final_ln_eps", 1e-6)),
     )

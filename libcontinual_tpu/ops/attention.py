@@ -121,7 +121,7 @@ def _shard_batchwise(fn, n_batch_args, n_replicated_args=0):
     batch = P("data", *([None] * 2))
     in_specs = tuple([batch] * n_batch_args + [P(None, None)] * n_replicated_args)
     return shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=batch, check_rep=False
+        fn, mesh=mesh, in_specs=in_specs, out_specs=batch, check_vma=False
     )
 
 

@@ -48,9 +48,22 @@ def test_gather_rows_negative_and_bounds():
     numpy-style negative indices and refuse out-of-range ones (the fallback
     raises IndexError; UB on the native path would silently corrupt data)."""
     rng = np.random.RandomState(5)
-    src = rng.randint(0, 255, (9, 4, 4, 3), np.uint8)
-    idx = np.asarray([-1, 0, -9, 8])
+    n = 600  # > 1 MB total so the call takes the native path, not the
+    # small-job numpy fallback
+    src = rng.randint(0, 255, (n, 32, 32, 3), np.uint8)
+    idx = np.r_[np.arange(-n, 0), np.arange(n)][::2]
     assert (native.gather_rows(src, idx) == src[idx]).all()
-    for bad in ([9], [-10]):
+    for bad in ([n], [-n - 1]):
+        big_bad = np.r_[np.zeros(n, np.int64), bad]
         with pytest.raises(IndexError):
-            native.gather_rows(src, np.asarray(bad))
+            native.gather_rows(src, big_bad)
+
+
+@needs_lib
+def test_shuffle_fallback_matches_native_stream():
+    """Seed-exact reproducibility across environments: the python fallback
+    must produce the SAME permutation as the C++ engine, so a seeded run's
+    batch order doesn't depend on whether libhostdata.so is built."""
+    for n, seed in ((1, 0), (17, 0), (1000, 7), (1000, 8), (4096, 123456789)):
+        assert (native.shuffled_indices(n, seed)
+                == native._xorshift_permutation(n, seed)).all()

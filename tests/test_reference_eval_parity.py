@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import _refload
 import _refsync as S
 from test_reference_loss_parity import (
-    DEV, FEAT, INC, INIT, NUM_CLASS, REF_KW, TASKS, _eps6, _prompt_harness,
+    DEV, FEAT, INC, INIT, NUM_CLASS, REF_KW, TASKS, _prompt_harness,
     _vit_frozen, batch_of, full_pytree, head_pytree, install, my_method,
     randomize_torch,
 )
@@ -153,7 +153,6 @@ def test_dualprompt_eval_keymatch():
             getattr(pr, name).uniform_(0, 1, generator=g)
         tm.network.classifier.weight.normal_(0, 0.02, generator=g)
         tm.network.classifier.bias.zero_()
-    _eps6(tm.network)
     tm.network.eval()
 
     prompt_params = {n: S.t2n(getattr(pr, n)) for n in
@@ -294,7 +293,6 @@ def test_minflora_v2_routed_eval():
             tr_spaces.append(trs)
             route_spaces.append(rts)
             scales.append(scs)
-    _eps6(net)
     net.eval()  # routing branch is eval-only
 
     m, state = my_method("MInfLoRA2", {"rank": R}, backbone="ViTZoo",
@@ -370,7 +368,6 @@ def test_l2p_eval():
         tm.network.backbone.prompt.prompt_key.uniform_(0, 1, generator=g)
         tm.network.classifier.weight.normal_(0, 0.02, generator=g)
         tm.network.classifier.bias.zero_()
-    _eps6(tm.network)
     tm.cur_task_id = 1
     tm._known_classes = INIT
     tm.network.eval()

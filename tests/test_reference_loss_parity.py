@@ -561,9 +561,6 @@ def test_l2p_loss_task1():
         tm.network.backbone.prompt.prompt_key.uniform_(0, 1, generator=g)
         tm.network.classifier.weight.normal_(0, 0.02, generator=g)
         tm.network.classifier.bias.zero_()
-    for m_ in tm.network.modules():
-        if isinstance(m_, torch.nn.LayerNorm):
-            m_.eps = 1e-6  # documented eps deviation (PARITY.md)
     tm.cur_task_id = 1
     tm._known_classes = INIT
 
@@ -769,10 +766,6 @@ def test_moe_adapter4cl_loss_task1():
         for p in net.parameters():
             if p.ndim:
                 p.uniform_(-0.08, 0.08, generator=g)
-    for mod in net.modules():  # align eps to my per-site values (PARITY.md)
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
-    net.ln_final.eps = 1e-5   # my text ln_final
     net.visual.ln_pre.eps = 1e-5  # my ln_pre_n
     net.eval()
 
@@ -1100,12 +1093,6 @@ def _vit_frozen(zoo):
     return jax.tree_util.tree_map(jnp.asarray, S.sync_vit(zoo.feat, 12))
 
 
-def _eps6(net):
-    for m_ in net.modules():
-        if isinstance(m_, torch.nn.LayerNorm):
-            m_.eps = 1e-6
-
-
 def test_dualprompt_loss_task1(monkeypatch):
     _deleaf_prompt_loss(monkeypatch)
     """reference dualprompt.py:93-107 + prompt.py:231-345: g-prompts on
@@ -1129,7 +1116,6 @@ def test_dualprompt_loss_task1(monkeypatch):
             getattr(pr, name).uniform_(0, 1, generator=g)
         tm.network.classifier.weight.normal_(0, 0.02, generator=g)
         tm.network.classifier.bias.zero_()
-    _eps6(tm.network)
 
     prompt_params = {n: S.t2n(getattr(pr, n)) for n in
                      ["g_p_0", "g_p_1", "e_p_2", "e_p_3", "e_p_4",
@@ -1181,7 +1167,6 @@ def test_codaprompt_loss_task1(monkeypatch):
                 getattr(pr, nm).uniform_(-0.5, 0.5, generator=g)
         tm.network.classifier.weight.normal_(0, 0.02, generator=g)
         tm.network.classifier.bias.zero_()
-    _eps6(tm.network)
 
     prompt_params = {}
     for e in range(5):
@@ -1361,10 +1346,6 @@ def _rapf_pair(beta=0.5):
         for p in net.parameters():
             if p.ndim:
                 p.uniform_(-0.08, 0.08, generator=g)
-    for mod in net.modules():  # documented eps deviation (PARITY.md)
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
-    net.ln_final.eps = 1e-5
     net.visual.ln_pre.eps = 1e-5
     net.eval()
 
@@ -1818,9 +1799,6 @@ def test_dmnsp_vit_loss_task1():
             for lin in (blk.adaptmlp.down_proj, blk.adaptmlp.up_proj):
                 lin.weight.uniform_(-0.05, 0.05, generator=g)
                 lin.bias.uniform_(-0.05, 0.05, generator=g)
-    for mod in net.modules():  # documented eps deviation (PARITY.md)
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
     net.eval()  # adapter dropout draws can't be aligned (rng=None on my side)
 
     tm = ref_dm.DMNSP(
@@ -1915,9 +1893,6 @@ def test_sdlora_loss_task1():
         tm.attention_modules[0].mag_lora[1].fill_(0.8)
         tm._network.classifier.weight.normal_(0, 0.1, generator=g)
         tm._network.classifier.bias.normal_(0, 0.1, generator=g)
-    for mod in net.modules():
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
     net.eval()
 
     m, state = my_method("SD_LoRA", {"init_mag": 1.0, "rank": R,
@@ -2022,9 +1997,6 @@ def test_lorasub_loss_task1():
     with torch.no_grad():
         tm._network.classifier_pool[1].weight.normal_(0, 0.1, generator=g)
         tm._network.classifier_pool[1].bias.normal_(0, 0.1, generator=g)
-    for mod in net.modules():
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
     net.eval()
 
     m, state = my_method(
@@ -2103,8 +2075,7 @@ def test_cl_lora_loss_task1(monkeypatch):
     torch.manual_seed(111)
     net = ref_vit.ViT_CL_LoRA(
         pretrained=False, attn_layer="MultiHeadAttention_CL_LoRA",
-        transformer_layer="Transformer_CL_LoRA", lora_rank=R,
-        norm_layer_eps=1e-6)
+        transformer_layer="Transformer_CL_LoRA", lora_rank=R)
     tm = ref_cl.CL_LoRA(net, DEV, init_cls_num=INIT, inc_cls_num=INC,
                         task_num=TASKS)
     tm.before_task(0, None, None, None)
@@ -2134,9 +2105,6 @@ def test_cl_lora_loss_task1(monkeypatch):
         tm._network.proxy_fc.weight.copy_(torch.from_numpy(
             rng.uniform(-0.1, 0.1, (INC, d)).astype(np.float32)))
         tm._network.proxy_fc.sigma.fill_(1.3)
-    for mod in net.modules():
-        if hasattr(mod, "eps"):
-            mod.eps = 1e-6
     net.eval()
 
     def build_my(kd_ratio):
@@ -2548,7 +2516,6 @@ def test_minflora_v1_loss_task1(monkeypatch):
                 for lst in (mod.lora_B_k_list, mod.lora_B_v_list):
                     lst[t].weight.copy_(torch.from_numpy(
                         rng.uniform(-0.05, 0.05, (768, R)).astype(np.float32)))
-    _eps6(net)
     net.eval()
     tm.probe_selection = torch.from_numpy(
         (rng.randn(2, 3, 224, 224) * 0.5).astype(np.float32))
@@ -2647,7 +2614,6 @@ def test_minflora_v2_loss_and_grads_task1():
             mod.enable_scale(task_id=1, space=[torch.from_numpy(spaces[-1])])
             mod.scale_param[1][0].data[:RS, :RS] = torch.from_numpy(
                 (np.eye(RS) + 0.1 * rng.randn(RS, RS)).astype(np.float32))
-    _eps6(net)
     net.train()  # routing branch is eval-only; all dropout rates are 0
 
     m, state = my_method("MInfLoRA2", {"rank": R}, backbone="ViTZoo", feat=768)
@@ -2774,7 +2740,6 @@ def test_minflora_v3_loss_and_grads_task1():
         if ("classifier_pool.1" in name or "lora_B_k_list.1" in name
                 or "lora_B_v_list.1" in name or "scale_param.1" in name):
             param.requires_grad_(True)
-    _eps6(net)
     net.eval()
 
     m, state = my_method("MInfLoRA3", {"rank": R, "space_rank": RS},

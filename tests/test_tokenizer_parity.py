@@ -30,7 +30,7 @@ STRINGS = [
 
 @pytest.fixture(scope="module")
 def pair():
-    vocab = mytok.DEFAULT_VOCAB_PATHS[1]
+    vocab = mytok.default_vocab_paths()[1]
     assert os.path.exists(vocab), "vendored vocab missing"
     assert "/root/reference" not in vocab
     ref_tok_mod = _refload.ref_module(
