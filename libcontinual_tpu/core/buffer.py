@@ -105,8 +105,17 @@ class LinearBuffer:
         if self.strategy == "herding":
             assert feature_fn is not None, "herding needs a feature_fn"
             self._herding_update(task_data, feature_fn)
-        else:  # random / equal_random / balance_random
+        elif self.strategy in ("random", "equal_random", "balance_random"):
             self._random_update(task_data, seed)
+        else:
+            # the reference trainer silently SKIPS unknown strategies
+            # (trainer.py:413-418 has no else); failing here beats either
+            # silent behavior — a typo'd strategy would otherwise change
+            # exemplar semantics with no error
+            raise ValueError(
+                f"unknown buffer strategy {self.strategy!r}; expected one of "
+                "herding/random/equal_random/balance_random"
+            )
 
     def _quota(self) -> int:
         return self.buffer_size // max(self.total_classes, 1)
@@ -193,9 +202,15 @@ class LinearSpiltBuffer(LinearBuffer):
         for c in np.unique(self.labels):
             idx = np.nonzero(self.labels == c)[0]
             rng.shuffle(idx)
-            # at least one val exemplar per class, but never empty a class's
-            # train side (a 1-exemplar class stays in train)
-            n_val = max(1, int(len(idx) * self.split_ratio)) if len(idx) > 1 else 0
+            # at least one val exemplar per class (the reference hardcodes
+            # val_ratio=0.1, linearbuffer.py:22, so tiny classes still split),
+            # but never empty a class's train side, and honor an explicit
+            # split_ratio 0.0 (no held-out set — a config the reference
+            # cannot express)
+            if self.split_ratio <= 0.0 or len(idx) <= 1:
+                n_val = 0
+            else:
+                n_val = max(1, int(len(idx) * self.split_ratio))
             n_val = min(n_val, len(idx) - 1)
             val_idx.append(idx[:n_val])
             train_idx.append(idx[n_val:])

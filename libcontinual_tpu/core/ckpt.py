@@ -23,7 +23,10 @@ def _ckpt_dir(base: str, task_idx: int) -> str:
 
 
 def save(base: str, task_idx: int, state, acc_table: np.ndarray, buffer,
-         method) -> None:
+         method, keep: int = 0) -> None:
+    """``keep`` > 0 prunes all but the newest ``keep`` task
+    directories after a successful save (checkpoint.keep in the config) —
+    a full TrainState per task grows unboundedly otherwise."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(base, task_idx)
@@ -40,6 +43,16 @@ def save(base: str, task_idx: int, state, acc_table: np.ndarray, buffer,
     }
     with open(os.path.join(path, "host.pkl"), "wb") as f:
         pickle.dump(host, f)
+    if keep and keep > 0:
+        import shutil
+
+        tasks = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(base)
+            if d.startswith("task_") and d.split("_")[1].isdigit()
+        )
+        for old_t in tasks[:-keep]:
+            shutil.rmtree(_ckpt_dir(base, old_t), ignore_errors=True)
 
 
 def latest_task(base: str) -> Optional[int]:

@@ -85,7 +85,13 @@ class Method:
     #: method keeps outside the TrainState pytree must be declared here
     host_state_attrs: tuple = ()
     validate_enabled: bool = True  # reference disables val for some methods
+    #: enforced by the trainer: ``setting: task-aware`` configs error out on
+    #: methods that cannot honor task ids at eval
     supports_task_aware: bool = True
+    #: documentation of reference behavior only — per-iteration LR stepping
+    #: is a property of the SCHEDULER (CosineAnnealingWarmUp's step_lrs
+    #: computes per-step values; optim.py ScheduleController.per_iteration),
+    #: not something the trainer keys off this flag for
     per_iter_scheduler: bool = False
 
     def __init__(self, config: Dict[str, Any], mesh_ctx=None):
@@ -183,7 +189,11 @@ class Method:
         return self.test_pipeline(None, jnp.zeros((2, h, w, c), jnp.uint8))
 
     def init_state(self, rng: jax.Array, sample_input_hw: Tuple[int, int, int]) -> TrainState:
-        k1, k2, k3 = jax.random.split(rng, 3)
+        # k4 (not the consumed parent) becomes the carried state.rng:
+        # storing `rng` itself would make the first train_step's split
+        # reproduce k1..k3 exactly, correlating augmentation/dropout draws
+        # with the weight-initialization keys
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         dummy = self.model_input(sample_input_hw)
         variables = self.backbone.init(k1, dummy, train=False)
         params = {"backbone": variables["params"]}
@@ -204,7 +214,7 @@ class Method:
             params=params,
             opt_state=self._tx_for_task(0).init(params),
             mvars=mvars,
-            rng=rng,
+            rng=k4,
             step=jnp.zeros((), jnp.int32),
             task=jnp.zeros((), jnp.int32),
             seen_mask=seen,

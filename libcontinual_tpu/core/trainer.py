@@ -20,6 +20,7 @@ Re-design of reference core/trainer.py:259-720 with TPU-native execution:
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Any, Dict, List, Optional
 
@@ -101,6 +102,10 @@ class Trainer:
 
         method_name = config["classifier"]["name"]
         self.method = METHODS.get(method_name)(config, self.mesh)
+        if self.setting == "task-aware" and not self.method.supports_task_aware:
+            raise ValueError(
+                f"{method_name} does not support setting: task-aware"
+            )
         self.method.class_names = getattr(self.train_stream, "class_names", [])
         self.buffer: LinearBuffer = build_buffer(config)
 
@@ -116,6 +121,7 @@ class Trainer:
             )
 
         self._jit_cache: Dict[Any, Any] = {}
+        self._dev_data_cache: Dict[int, Any] = {}
 
         method = self.method
 
@@ -272,10 +278,22 @@ class Trainer:
             weights.reshape(steps, self.batch_size),
         )
 
-    def _device_task_data(self, td: TaskData):
+    def _device_task_data(self, td: TaskData, cache: bool = False):
+        # ``cache=True`` (eval paths) memoizes the device copy per TaskData
+        # object: test sets are immutable, and re-uploading every _validate
+        # (x epochs x tasks) wastes hundreds of host->device transfers per
+        # run. Train data stays uncached (concat task data is rebuilt per
+        # task; caching would pin stale device arrays).
+        if cache:
+            key = id(td)
+            hit = self._dev_data_cache.get(key)
+            if hit is not None and hit[0] is td:
+                return hit[1], hit[2]
         rep = self.mesh.replicated_sharding()
         images = jax.device_put(np.ascontiguousarray(td.images), rep)
         labels = jax.device_put(np.ascontiguousarray(td.labels.astype(np.int32)), rep)
+        if cache:
+            self._dev_data_cache[id(td)] = (td, images, labels)
         return images, labels
 
     def _shard_step_arrays(self, idx, weights):
@@ -295,7 +313,13 @@ class Trainer:
         profile = bool(self.config.get("profile")) and task_idx == 0
 
         for epoch_idx in range(epochs):
-            idx, weights = self._epoch_indices(n, seed + epoch_idx)
+            # fresh shuffle stream per TASK as well as per epoch (the
+            # reference's per-task DataLoaders reshuffle from torch's global
+            # RNG; a task-free seed would replay identical batch orders
+            # across equal-sized tasks)
+            idx, weights = self._epoch_indices(
+                n, seed + task_idx * 100003 + epoch_idx
+            )
             lrs = sched.step_lrs(epoch_idx)
             steps = idx.shape[0]
             if len(lrs) < steps:
@@ -304,7 +328,7 @@ class Trainer:
             idx_d, w_d = self._shard_step_arrays(idx, weights)
 
             t0 = time.perf_counter()
-            ctx = _null_ctx()
+            ctx = contextlib.nullcontext()
             if profile and epoch_idx == 1:
                 try:  # profiler may be unsupported on experimental platforms
                     ctx = jax.profiler.trace(
@@ -354,7 +378,7 @@ class Trainer:
             if (
                 method.validate_enabled
                 and self.val_per_epoch > 0
-                and ((epoch_idx + 1) % self.val_per_epoch == 0 or epoch_idx + 1 == epochs)
+                and (epoch_idx + 1) % self.val_per_epoch == 0
                 and bool(self.config.get("eval_with_test", True))
                 and epochs > 1
                 and epoch_idx + 1 < epochs
@@ -381,7 +405,7 @@ class Trainer:
         weights = np.ones(total, np.float32)
         if pad:
             weights[n:] = 0.0
-        images, labels = self._device_task_data(td)
+        images, labels = self._device_task_data(td, cache=True)
         idx_d, w_d = self._shard_step_arrays(
             idx.reshape(steps, bs).astype(np.int32),
             weights.reshape(steps, bs),
@@ -527,6 +551,7 @@ class Trainer:
                 ckpt.save(
                     self.ckpt_dir, task_idx, self.state, self.acc_table,
                     self.buffer, self.method,
+                    keep=int((self.config.get("checkpoint") or {}).get("keep", 0)),
                 )
 
         t_idx = self.task_num - 1
@@ -595,9 +620,3 @@ class Trainer:
         return n_iter * self.batch_size / dt
 
 
-class _null_ctx:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False

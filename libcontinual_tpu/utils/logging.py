@@ -50,7 +50,12 @@ class Logger:
         if self._jsonl is not None:
             rec: Dict[str, Any] = {"ts": time.time(), "kind": kind}
             rec.update(fields)
-            self._jsonl.write(json.dumps(rec, default=_jsonable) + "\n")
+            # json.dumps would emit the non-standard Infinity/NaN tokens
+            # (e.g. ovr_frgt is inf for 2-task runs), breaking strict JSON
+            # consumers of events.jsonl — record null instead
+            self._jsonl.write(
+                json.dumps(_definite(rec), default=_jsonable) + "\n"
+            )
             self._jsonl.flush()
 
     def close(self):
@@ -61,9 +66,25 @@ class Logger:
 
 def _jsonable(x):
     try:
-        return float(x)
+        v = float(x)
+        return v if np_isfinite(v) else None
     except Exception:
         return str(x)
+
+
+def np_isfinite(v: float) -> bool:
+    return v == v and v not in (float("inf"), float("-inf"))
+
+
+def _definite(v):
+    """Replace non-finite floats with None, recursively."""
+    if isinstance(v, float):
+        return v if np_isfinite(v) else None
+    if isinstance(v, dict):
+        return {k: _definite(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_definite(x) for x in v]
+    return v
 
 
 _DEFAULT: Optional[Logger] = None

@@ -104,3 +104,38 @@ def test_imbalance_profiles_shapes():
         assert all(c >= 0 for c in counts)
     exp = imbalance_profile("exp", 20, 5, 4, 4, 100, 0.01)
     assert exp[0] == 100 and exp[-1] == 1  # long tail
+
+
+def test_unknown_strategy_raises():
+    """Typo'd strategies must fail loudly (the reference silently SKIPS the
+    buffer update, trainer.py:413-418; we used to silently run random)."""
+    import numpy as np
+    import pytest
+
+    from libcontinual_tpu.core.buffer import LinearBuffer
+    from libcontinual_tpu.data.continual import TaskData
+
+    buf = LinearBuffer(buffer_size=8, batch_size=4, strategy="hering")
+    buf.total_classes = 2
+    td = TaskData(images=np.zeros((4, 2, 2, 3), np.uint8),
+                  labels=np.asarray([0, 0, 1, 1], np.int32),
+                  class_lo=0, class_hi=2)
+    with pytest.raises(ValueError, match="unknown buffer strategy"):
+        buf.update(td, seed=0)
+
+
+def test_split_ratio_zero_disables_holdout():
+    import numpy as np
+
+    from libcontinual_tpu.core.buffer import LinearSpiltBuffer
+    from libcontinual_tpu.data.continual import TaskData
+
+    buf = LinearSpiltBuffer(buffer_size=8, batch_size=4, strategy="random",
+                            split_ratio=0.0)
+    buf.total_classes = 2
+    td = TaskData(images=np.zeros((8, 2, 2, 3), np.uint8),
+                  labels=np.asarray([0, 0, 0, 0, 1, 1, 1, 1], np.int32),
+                  class_lo=0, class_hi=2)
+    buf.update(td, seed=0)
+    tr, va = buf.split(seed=0)
+    assert va is None and len(tr.labels) == len(buf.labels)

@@ -51,3 +51,26 @@ def test_checkpoint_resume_under_tp_mesh(tiny_config, tmp_path):
     tr2 = Trainer(cfg)
     assert tr2._resume_from == cfg["task_num"] - 1
     assert np.allclose(tr2.acc_table, tr.acc_table)
+
+
+def test_checkpoint_keep_prunes_old_tasks(tiny_config, tmp_path):
+    """checkpoint.keep must bound disk growth: only the newest `keep` task
+    dirs survive (the setting used to be silently ignored)."""
+    import copy
+    import os
+
+    from libcontinual_tpu.core.trainer import Trainer
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["epoch"] = 1
+    cfg["task_num"] = 3
+    cfg["init_cls_num"] = 3
+    cfg["inc_cls_num"] = 3
+    cfg["classifier"] = {"name": "Finetune",
+                         "kwargs": {"num_class": 9, "feat_dim": 32}}
+    cfg["checkpoint"] = {"enable": True, "dir": str(tmp_path / "ck"), "keep": 1}
+    tr = Trainer(cfg)
+    tr.train_loop()
+    dirs = sorted(d for d in os.listdir(cfg["checkpoint"]["dir"])
+                  if d.startswith("task_"))
+    assert dirs == ["task_002"]

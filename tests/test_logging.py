@@ -25,3 +25,19 @@ def test_file_handlers_do_not_accumulate(tmp_path):
     assert "second run line" not in run1  # no cross-run contamination
     assert "second run line" in run2
     log2.close()
+
+
+def test_events_jsonl_is_strict_json(tmp_path):
+    """Non-finite metrics (ovr_frgt is inf for 2-task runs) must serialize
+    as null, not the non-standard Infinity token."""
+    import json
+
+    d = str(tmp_path / "runj")
+    log = Logger(d, name="lct-test-logger-json")
+    log.event("run_done", ovr_frgt=float("inf"), ovr_bwt=float("-inf"),
+              accs=[1.0, float("nan")])
+    log.close()
+    lines = open(os.path.join(d, "events.jsonl")).read().splitlines()
+    rec = json.loads(lines[-1])  # strict parse must succeed
+    assert rec["ovr_frgt"] is None and rec["ovr_bwt"] is None
+    assert rec["accs"] == [1.0, None]
