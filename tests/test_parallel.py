@@ -170,3 +170,57 @@ def test_make_mesh_rejects_oversized_model_axis():
 
     with pytest.raises(ValueError, match="devices"):
         make_mesh(data=-1, model=1024)
+
+
+def test_tp_model4_one_step_loss_matches_replicated(tiny_config):
+    """Pure 4-way tensor parallelism (1x4 mesh): with vit_tiny_test's 4
+    heads, the attention head constraint puts exactly one head group per
+    rank and the MLP shards 256/4 — the deepest TP the tiny geometry
+    supports. One optimizer step's loss must match the replicated run."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from libcontinual_tpu.parallel.mesh import make_mesh
+    from libcontinual_tpu.registry import METHODS
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": {}}
+    cfg["classifier"] = {
+        "name": "L2P",
+        "kwargs": {
+            "num_class": 8, "feat_dim": 64, "init_cls_num": 4,
+            "inc_cls_num": 4, "task_num": 2,
+            "prompt_pool": 4, "prompt_length": 2, "top_k": 2,
+        },
+    }
+    losses = []
+    for dp, tp in ((1, 1), (1, 4)):
+        mesh = make_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
+        method = METHODS.get("L2P")(cfg, mesh)
+        state = method.init_state(jax.random.PRNGKey(0), (32, 32, 3))
+        state = jax.device_put(state, mesh.param_sharding(state))
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": jax.device_put(
+                jnp.asarray(rng.randint(0, 255, (8, 32, 32, 3), np.uint8)),
+                NamedSharding(mesh.mesh, P("data")),
+            ),
+            "label": jax.device_put(
+                jnp.asarray(rng.randint(0, 4, (8,), np.int32)),
+                NamedSharding(mesh.mesh, P("data")),
+            ),
+            "weight": jax.device_put(
+                jnp.ones((8,), jnp.float32), NamedSharding(mesh.mesh, P("data"))
+            ),
+        }
+        tx = method._tx_for_task(0)
+        with mesh.mesh:
+            _, m = jax.jit(
+                lambda st, b: method.train_step(st, b, jnp.float32(1e-3), tx=tx)
+            )(state, batch)
+        losses.append(float(np.asarray(m["loss"])))
+    assert np.isfinite(losses).all()
+    assert abs(losses[0] - losses[1]) <= 1e-3 * max(1.0, abs(losses[0])), (
+        f"1x1 vs 1x4 one-step loss diverged: {losses}"
+    )
