@@ -26,6 +26,7 @@ synchronize — we force a scalar fetch instead.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -95,8 +96,10 @@ def _require_devices(timeout_s: float = 600.0):
             "unit": "images/sec/chip",
             "error": f"device backend unreachable after {timeout_s:.0f}s "
                      "(TPU tunnel outage) — no measurement taken",
-        }))
-        os._exit(2)
+        }), flush=True)
+        sys.stdout.flush()
+        os._exit(2)  # skips cleanup; stdout flushed above so the driver
+        # still captures the error record through a pipe
     return found
 
 

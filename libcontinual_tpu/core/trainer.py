@@ -122,6 +122,7 @@ class Trainer:
 
         self._jit_cache: Dict[Any, Any] = {}
         self._dev_data_cache: Dict[int, Any] = {}
+        self._dev_cache_bytes = 0
 
         method = self.method
 
@@ -293,7 +294,14 @@ class Trainer:
         images = jax.device_put(np.ascontiguousarray(td.images), rep)
         labels = jax.device_put(np.ascontiguousarray(td.labels.astype(np.int32)), rep)
         if cache:
-            self._dev_data_cache[id(td)] = (td, images, labels)
+            # bounded: pinning every test set in HBM is only free when test
+            # sets are small (CIFAR-geometry). Budget via eval_cache_mb
+            # (default 512 MiB); beyond it, fall back to per-eval uploads.
+            nbytes = td.images.nbytes + 4 * len(td.labels)
+            budget = int(self.config.get("eval_cache_mb", 512)) * 2**20
+            if self._dev_cache_bytes + nbytes <= budget:
+                self._dev_data_cache[id(td)] = (td, images, labels)
+                self._dev_cache_bytes += nbytes
         return images, labels
 
     def _shard_step_arrays(self, idx, weights):

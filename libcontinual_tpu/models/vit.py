@@ -688,6 +688,10 @@ def _load_npz_into(params: Dict, raw: Dict):
                 return _Checked(v, f"{self._path}/{key}")
             return v
 
+    # top-level ARRAY keys (cls_token/pos_embed) must be written into the
+    # CALLER'S dict — rebinding a wrapped copy here would drop them while
+    # nested writes still flow through the shared sub-dicts
+    orig = params
     params = {
         k: (_Checked(v, k) if isinstance(v, dict) else v)
         for k, v in params.items()
@@ -697,15 +701,15 @@ def _load_npz_into(params: Dict, raw: Dict):
         params["patch_embed"]["kernel"] = v
         params["patch_embed"]["bias"] = raw["embedding/bias"]
     if (v := get("cls")) is not None:
-        if tuple(params["cls_token"].shape) != tuple(np.shape(v)):
+        if tuple(orig["cls_token"].shape) != tuple(np.shape(v)):
             raise ValueError(
-                f"npz cls_token {np.shape(v)} vs model {params['cls_token'].shape}")
-        params["cls_token"] = v
+                f"npz cls_token {np.shape(v)} vs model {orig['cls_token'].shape}")
+        orig["cls_token"] = v
     if (v := get("Transformer/posembed_input/pos_embedding")) is not None:
-        if tuple(params["pos_embed"].shape) != tuple(np.shape(v)):
+        if tuple(orig["pos_embed"].shape) != tuple(np.shape(v)):
             raise ValueError(
-                f"npz pos_embed {np.shape(v)} vs model {params['pos_embed'].shape}")
-        params["pos_embed"] = v
+                f"npz pos_embed {np.shape(v)} vs model {orig['pos_embed'].shape}")
+        orig["pos_embed"] = v
     if (v := get("Transformer/encoder_norm/scale")) is not None:
         params["norm"]["scale"] = v
         params["norm"]["bias"] = raw["Transformer/encoder_norm/bias"]

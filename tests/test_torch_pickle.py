@@ -148,3 +148,65 @@ def test_load_clip_pth_path(tmp_path):
     loaded = load_clip_torch_weights(params, str(p))
     assert np.allclose(np.asarray(loaded["visual_projection"]), sd["visual.proj"].numpy())
     assert float(np.asarray(loaded["logit_scale"])) == pytest.approx(1.5)
+
+
+def test_load_npz_weights_including_top_level_arrays(tmp_path):
+    """npz (augreg) loading must install cls_token and pos_embed — the
+    top-level array keys (regression: the shape-validation wrapper rebound
+    the params dict locally and silently dropped exactly those two, leaving
+    a 'pretrained' backbone with random cls/pos embeddings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libcontinual_tpu.models.vit import load_timm_weights
+    from libcontinual_tpu.registry import BACKBONES
+
+    m = BACKBONES.get("vit_tiny_test")()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                    train=False)["params"]
+    D, depth, patch = 64, 4, 8
+    rng = np.random.RandomState(0)
+    raw = {
+        "cls": rng.randn(*np.asarray(params["cls_token"]).shape).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rng.randn(*np.asarray(params["pos_embed"]).shape).astype(np.float32),
+        "embedding/kernel": rng.randn(patch, patch, 3, D).astype(np.float32),
+        "embedding/bias": rng.randn(D).astype(np.float32),
+        "Transformer/encoder_norm/scale": np.ones(D, np.float32),
+        "Transformer/encoder_norm/bias": np.zeros(D, np.float32),
+    }
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}"
+        raw[f"{b}/LayerNorm_0/scale"] = np.ones(D, np.float32)
+        raw[f"{b}/LayerNorm_0/bias"] = np.zeros(D, np.float32)
+        raw[f"{b}/LayerNorm_2/scale"] = np.ones(D, np.float32)
+        raw[f"{b}/LayerNorm_2/bias"] = np.zeros(D, np.float32)
+        att = f"{b}/MultiHeadDotProductAttention_1"
+        for n in ("query", "key", "value"):
+            raw[f"{att}/{n}/kernel"] = rng.randn(D, 4, D // 4).astype(np.float32)
+            raw[f"{att}/{n}/bias"] = np.zeros((4, D // 4), np.float32)
+        raw[f"{att}/out/kernel"] = rng.randn(4, D // 4, D).astype(np.float32)
+        raw[f"{att}/out/bias"] = np.zeros(D, np.float32)
+        mlp = f"{b}/MlpBlock_3"
+        raw[f"{mlp}/Dense_0/kernel"] = rng.randn(D, 4 * D).astype(np.float32)
+        raw[f"{mlp}/Dense_0/bias"] = np.zeros(4 * D, np.float32)
+        raw[f"{mlp}/Dense_1/kernel"] = rng.randn(4 * D, D).astype(np.float32)
+        raw[f"{mlp}/Dense_1/bias"] = np.zeros(D, np.float32)
+    p = tmp_path / "vit.npz"
+    np.savez(str(p), **raw)
+    loaded = load_timm_weights(params, str(p))
+    assert np.allclose(np.asarray(loaded["cls_token"]), raw["cls"])
+    assert np.allclose(
+        np.asarray(loaded["pos_embed"]),
+        raw["Transformer/posembed_input/pos_embedding"])
+    assert np.allclose(
+        np.asarray(loaded["patch_embed"]["kernel"]), raw["embedding/kernel"])
+    # wrong-geometry npz must fail loudly
+    import pytest
+
+    bad = dict(raw)
+    bad["Transformer/encoderblock_0/LayerNorm_0/scale"] = np.ones(D + 1, np.float32)
+    p2 = tmp_path / "vit_bad.npz"
+    np.savez(str(p2), **bad)
+    with pytest.raises(ValueError, match="geometry"):
+        load_timm_weights(params, str(p2))
