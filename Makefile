@@ -6,6 +6,12 @@ native:
 test:
 	python -m pytest tests/ -q
 
+test-parity:
+	python -m pytest tests/ -q -m parity
+
+test-full:
+	python -m pytest tests/ -q -m "parity or not parity"
+
 bench:
 	python bench.py
 

@@ -77,10 +77,16 @@ def _shard_mesh():
     """Mesh to shard_map the fused kernels over, or None for direct call."""
     import os
 
-    if os.environ.get("LIBCONTINUAL_ATTN_SHARDMAP") == "off":
+    env = os.environ.get("LIBCONTINUAL_ATTN_SHARDMAP")
+    if env == "off":
         return None
     m = _ACTIVE_MESH
-    if m is None or m.size <= 1 or "data" not in m.axis_names:
+    if m is None or "data" not in m.axis_names:
+        return None
+    # "force" keeps shard_map even on a single-device mesh: that is how the
+    # pallas_call-inside-shard_map lowering is executed on a real chip when
+    # only one is attached (tests/test_tpu_kernels.py).
+    if m.size <= 1 and env != "force":
         return None
     if "model" in m.axis_names and m.shape["model"] > 1:
         # under tensor parallelism attention takes the GSPMD XLA path with

@@ -15,6 +15,16 @@ import jax  # noqa: E402
 # override through the config API (backend init is lazy, so this still wins).
 jax.config.update("jax_platforms", "cpu")
 
+# Build the native host-data engine when a compiler exists, so its tests run
+# instead of silently skipping (they skipif on the .so being absent).
+_native_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+if not os.path.exists(os.path.join(_native_dir, "libhostdata.so")):
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") or shutil.which("c++"):
+        subprocess.run(["make", "-C", _native_dir], check=False, capture_output=True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

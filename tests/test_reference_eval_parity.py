@@ -16,6 +16,8 @@ import copy
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # executing-torch tier (opt-in: -m parity)
+
 torch = pytest.importorskip("torch")
 
 import jax

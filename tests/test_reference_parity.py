@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # executing-torch tier (opt-in: -m parity)
+
 torch = pytest.importorskip("torch")
 
 import jax

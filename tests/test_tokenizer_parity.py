@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # executing-torch tier (opt-in: -m parity)
+
 torch = pytest.importorskip("torch")
 
 import _refload
