@@ -44,9 +44,13 @@ def main():
     import numpy as np
     from jax.sharding import Mesh
 
+    import importlib
+
     from libcontinual_tpu.utils import jaxcache
     jaxcache.enable()
-    from libcontinual_tpu.ops import attention as A
+    # the ops package re-exports `attention` (the function), shadowing the
+    # submodule attribute — resolve the module itself
+    A = importlib.import_module("libcontinual_tpu.ops.attention")
 
     mesh = Mesh(np.asarray(devs[:1]).reshape(1, 1), ("data", "model"))
     A.set_active_mesh_devices(1)
@@ -61,7 +65,8 @@ def main():
     qkv = jnp.asarray(rng.randn(B, S, 3 * D), jnp.bfloat16)
     pk = jnp.asarray(rng.randn(B, P, D), jnp.bfloat16)
     pv = jnp.asarray(rng.randn(B, P, D), jnp.bfloat16)
-    mask = jnp.asarray(rng.randn(B, S).astype(np.float32) > 0, jnp.float32) * -1e9
+    # (S, S) additive causal mask — the CLIP text tower shape
+    mask = jnp.asarray(np.triu(np.full((S, S), -1e9, np.float32), 1))
 
     errs = {}
 
