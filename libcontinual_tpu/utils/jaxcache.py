@@ -13,6 +13,14 @@ present identical generic cpuinfo while LLVM's CPUID-derived feature set
 built from the CPUID leaves LLVM actually reads (executed directly via a
 ctypes code page), falling back to the fullest cpuinfo identity available,
 and always includes the jaxlib version (serialization format).
+
+Known cosmetic residue (measured, round 4): the cpu_aot_loader warning
+also fires for blobs compiled BY THIS SAME MACHINE — XLA's compiler
+records tuning flags (``+prefer-no-scatter/+prefer-no-gather``) in the
+target feature string, while the loader re-derives host features without
+them and flags the "unsupported" difference. Same-host loads are safe
+(identical machine code); the namespace exists to stop the genuinely
+dangerous cross-host loads, which it now does.
 """
 
 from __future__ import annotations

@@ -100,7 +100,7 @@ def main():
     def timed(fn, iters=30):
         def loop(x):
             def body(c, _):
-                g = jax.grad(lambda t: jnp.sum(fn(t) ** 2).astype(jnp.float32))(x + 0 * c)
+                g = jax.grad(lambda t: jnp.sum(fn(t) ** 2).astype(jnp.float32))(x + (0 * c).astype(x.dtype))
                 return c + jnp.mean(g).astype(jnp.float32), None
             return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
 
