@@ -23,6 +23,14 @@ READMEs are accuracy-only.)
 
 Timing note: on the axon TPU tunnel, ``block_until_ready`` does not actually
 synchronize — we force a scalar fetch instead.
+
+Besides the headline metric, the emitted JSON line carries a ``workloads``
+map with one img/s row per method family at its shipped geometry
+(DualPrompt / CODA-Prompt / CLIP-MoE / iCaRL-resnet18 / OCM — the
+tools/bench_workloads.py table), so the per-round bench artifact records
+the breadth claim, not just L2P. Each row is individually guarded: a
+workload failure records an error string without losing the headline.
+Set BENCH_WORKLOADS=0 to emit the headline only.
 """
 
 import json
@@ -143,7 +151,7 @@ def main():
     # activation-grad bwd ~= 3 ViT-B fwd equivalents; BASELINE.md:92-102)
     flop_per_image = 13.4e12 / 128
     achieved = ips * flop_per_image
-    print(json.dumps({
+    record = {
         "metric": "images/sec/chip (ViT-B/16 L2P train step, CIFAR-100 b10-inc10 geometry)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
@@ -155,7 +163,39 @@ def main():
         "achieved_tflops": round(achieved / 1e12, 1),
         "mfu_vs_197tflops_peak": round(achieved / 197e12, 3),
         "mfu_vs_128tflops_measured_ceiling": round(achieved / 128e12, 3),
-    }))
+    }
+    record["workloads"] = _workload_rows()
+    print(json.dumps(record))
+
+
+def _workload_rows():
+    """img/s per method family (tools/bench_workloads.py), each row guarded
+    so one workload's failure can't cost the headline record."""
+    import os
+
+    if os.environ.get("BENCH_WORKLOADS", "1") == "0":
+        return {"skipped": "BENCH_WORKLOADS=0"}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_workloads as bw
+    except Exception as e:  # tools/ missing or import-broken
+        return {"error": f"{type(e).__name__}: {e}"}
+    rows = {}
+    for name, builder in bw.WORKLOADS.items():
+        if name == "L2P":
+            continue  # the headline metric above IS the L2P step
+        try:
+            method, wcfg = builder()
+            task_idx = 1 if name.startswith("OCM") else 0
+            if name.startswith("OCM"):
+                method._cur_task = 1  # incremental branch (joint replay fwd)
+            ips = bw.time_step(method, wcfg, task_idx=task_idx)
+            rows[name] = {"batch": wcfg["batch_size"],
+                          "img_per_sec": round(ips, 1)}
+        except Exception as e:
+            rows[name] = {"error": f"{type(e).__name__}: {e}"}
+    return rows
 
 
 if __name__ == "__main__":

@@ -46,6 +46,11 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 class Trainer:
+    #: optional ``(task_idx, epoch_idx, state, step_losses) -> None`` called
+    #: after every training epoch — a read-only observation point for
+    #: diagnostics and the differential lockstep tests
+    epoch_hook = None
+
     def __init__(self, config: Dict[str, Any], workdir: Optional[str] = None):
         from libcontinual_tpu.utils import jaxcache
 
@@ -373,6 +378,14 @@ class Trainer:
             wsum = float(np.sum(ms["w"])) or 1.0
             ep_loss = float(np.sum(np.asarray(ms["loss"]) * np.asarray(ms["w"])) / wsum)
             ep_acc = float(np.sum(np.asarray(ms["acc"]) * np.asarray(ms["w"])) / wsum)
+            if self.epoch_hook is not None:
+                # diagnostics hook: (task, epoch, state, per-step losses).
+                # The differential lockstep tests use it to capture epoch
+                # endpoint states for piecewise comparison against the
+                # executing reference.
+                self.epoch_hook(
+                    task_idx, epoch_idx, self.state, np.asarray(ms["loss"])
+                )
             ips = wsum / dt
             self.log.info(
                 "Task %d epoch [%d/%d] lr %.5f | loss %.4f acc %.2f | %.0f img/s",

@@ -12,7 +12,11 @@ import numpy as np
 
 
 def t2n(t):
-    return t.detach().cpu().numpy()
+    # np.array (copy!) — t.numpy() returns a VIEW of torch storage, and
+    # jnp.asarray on the CPU backend can alias that memory zero-copy.
+    # Without the copy, a later torch optimizer.step() mutates the "synced"
+    # jax params in place, silently corrupting any interleaved lockstep.
+    return np.array(t.detach().cpu().numpy())
 
 
 def conv_k(t):  # OIHW -> HWIO
@@ -200,3 +204,124 @@ def blocks_aml(model):
                 d["down_conv"], d["down_bn"] = b.shortcut[0], b.shortcut[1]
             out.append(d)
     return out, model.conv1, model.bn1
+
+
+# --------------------------------------------------------------- inverse sync
+# flax -> torch writers, for the piecewise lockstep protocol: the torch
+# reference is re-synced from the JAX trainer's captured epoch states, so
+# every epoch is compared from a common start and fp chaos cannot accumulate
+# across the run (measured amplification at CIFAR-resnet20 geometry is
+# ~5-10x per momentum-SGD step — a whole-trajectory lockstep is impossible
+# in f32 regardless of implementation correctness).
+
+
+def inv_conv_k(a):  # HWIO -> OIHW
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (3, 2, 0, 1)))
+
+
+def inv_lin_k(a):  # flax kernel (in,out) -> torch Linear weight (out,in)
+    return np.ascontiguousarray(np.asarray(a).T)
+
+
+def _ident(a):
+    # np.array (copy) so torch.from_numpy never sees a read-only view
+    return np.array(a)
+
+
+def resnet_param_pairs(torch_blocks, stem_conv, stem_bn, linear=None):
+    """(torch tensor, path into the full {backbone, head} params pytree,
+    flax->torch transform) triples mirroring ``sync_resnet``. Used both to
+    write params back into torch and to map optax trace (momentum) leaves
+    onto torch SGD momentum buffers."""
+    prs = [
+        (stem_conv.weight, ("backbone", "conv_stem", "kernel"), inv_conv_k),
+        (stem_bn.weight, ("backbone", "bn_stem", "scale"), _ident),
+        (stem_bn.bias, ("backbone", "bn_stem", "bias"), _ident),
+    ]
+    for i, b in enumerate(torch_blocks):
+        n = f"BasicBlock_{i}"
+        prs += [
+            (b["conv0"].weight, ("backbone", n, "Conv_0", "kernel"), inv_conv_k),
+            (b["conv1"].weight, ("backbone", n, "Conv_1", "kernel"), inv_conv_k),
+            (b["bn0"].weight, ("backbone", n, "BatchNorm_0", "scale"), _ident),
+            (b["bn0"].bias, ("backbone", n, "BatchNorm_0", "bias"), _ident),
+            (b["bn1"].weight, ("backbone", n, "BatchNorm_1", "scale"), _ident),
+            (b["bn1"].bias, ("backbone", n, "BatchNorm_1", "bias"), _ident),
+        ]
+        if "down_conv" in b:
+            prs.append(
+                (b["down_conv"].weight, ("backbone", n, "downsample", "kernel"),
+                 inv_conv_k))
+            if b.get("down_bn") is not None:
+                prs += [
+                    (b["down_bn"].weight,
+                     ("backbone", n, "downsample_bn", "scale"), _ident),
+                    (b["down_bn"].bias,
+                     ("backbone", n, "downsample_bn", "bias"), _ident),
+                ]
+    if linear is not None:
+        prs += [
+            (linear.weight, ("head", "Dense_0", "kernel"), inv_lin_k),
+            (linear.bias, ("head", "Dense_0", "bias"), _ident),
+        ]
+    return prs
+
+
+def resnet_stat_pairs(torch_blocks, stem_bn):
+    """(torch running-stat buffer, path into batch_stats) pairs."""
+    prs = [
+        (stem_bn.running_mean, ("bn_stem", "mean")),
+        (stem_bn.running_var, ("bn_stem", "var")),
+    ]
+    for i, b in enumerate(torch_blocks):
+        n = f"BasicBlock_{i}"
+        prs += [
+            (b["bn0"].running_mean, (n, "BatchNorm_0", "mean")),
+            (b["bn0"].running_var, (n, "BatchNorm_0", "var")),
+            (b["bn1"].running_mean, (n, "BatchNorm_1", "mean")),
+            (b["bn1"].running_var, (n, "BatchNorm_1", "var")),
+        ]
+        if b.get("down_bn") is not None:
+            prs += [
+                (b["down_bn"].running_mean, (n, "downsample_bn", "mean")),
+                (b["down_bn"].running_var, (n, "downsample_bn", "var")),
+            ]
+    return prs
+
+
+def tree_get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def write_param_pairs(pairs, tree):
+    """Copy flax pytree values INTO the paired torch tensors (in place)."""
+    import torch
+
+    with torch.no_grad():
+        for t, path, inv in pairs:
+            t.copy_(torch.from_numpy(inv(np.asarray(tree_get(tree, path),
+                                                    np.float32))))
+
+
+def write_stat_pairs(pairs, stats_tree):
+    import torch
+
+    with torch.no_grad():
+        for t, path in pairs:
+            t.copy_(torch.from_numpy(
+                np.ascontiguousarray(np.asarray(tree_get(stats_tree, path),
+                                                np.float32))))
+
+
+def write_momentum(pairs, trace_tree, optim):
+    """Set torch SGD momentum buffers from an optax ``trace`` pytree (same
+    structure as params). torch's buf and optax's trace follow the same
+    recursion ``buf = mu*buf + (g + wd*p)`` so the leaves correspond 1:1."""
+    import torch
+
+    for t, path, inv in pairs:
+        buf = torch.from_numpy(inv(np.asarray(tree_get(trace_tree, path),
+                                              np.float32)))
+        optim.state[t]["momentum_buffer"] = buf
