@@ -94,7 +94,15 @@ def _pad_to(images: Array, h: int, w: int) -> Array:
 
 
 def random_crop(rng: Array, images: Array, size, padding: int = 0) -> Array:
-    """torchvision RandomCrop(size, padding): zero-pad then random offset."""
+    """torchvision RandomCrop(size, padding): zero-pad then random offset.
+
+    The offset selection runs as two one-hot einsums on the MXU rather than
+    a vmapped dynamic_slice: batched slices lower to gathers, which
+    measured 3.2 ms for a 128x(32x32) crop on the chip — costlier than the
+    entire resnet18 fwd+bwd (2.96 ms) and the dominant term of the
+    rehearsal-family train step (tools/profile_icarl_step.py). The einsums
+    are ~70 MFLOP and bit-exact (one-hot selectors, HIGHEST precision),
+    same trick crop_and_resize already uses for its bilinear taps."""
     th, tw = _pair(size)
     if padding:
         images = jnp.pad(
@@ -104,11 +112,18 @@ def random_crop(rng: Array, images: Array, size, padding: int = 0) -> Array:
     k1, k2 = jax.random.split(rng)
     ys = jax.random.randint(k1, (b,), 0, h - th + 1)
     xs = jax.random.randint(k2, (b,), 0, w - tw + 1)
-
-    def crop_one(img, y, x):
-        return jax.lax.dynamic_slice(img, (y, x, 0), (th, tw, c))
-
-    return jax.vmap(crop_one)(images, ys, xs)
+    dt = images.dtype
+    sel_y = (
+        jnp.arange(h)[None, None, :]
+        == ys[:, None, None] + jnp.arange(th)[None, :, None]
+    ).astype(dt)
+    sel_x = (
+        jnp.arange(w)[None, None, :]
+        == xs[:, None, None] + jnp.arange(tw)[None, :, None]
+    ).astype(dt)
+    hi = jax.lax.Precision.HIGHEST  # exact f32: selection must be lossless
+    rows = jnp.einsum("bih,bhwc->biwc", sel_y, images, precision=hi)
+    return jnp.einsum("bjw,biwc->bijc", sel_x, rows, precision=hi)
 
 
 def random_hflip(rng: Array, images: Array, p: float = 0.5) -> Array:

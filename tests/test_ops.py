@@ -140,3 +140,48 @@ def test_fused_masked_qkv_attention_grad_matches_autodiff():
     )(qkv)
     g_r = jax.grad(lambda x: jnp.sum(_mqkv_xla(x, mask, scale, h) ** 2))(qkv)
     assert np.allclose(np.asarray(g_c), np.asarray(g_r), atol=1e-4)
+
+
+# --------------------------------------------------------------- conv3x3
+
+
+class TestConv3x3:
+    """ops/conv.py — the flag-gated implicit-GEMM conv (a measured
+    rejection on TPU, see its docstring; kept correct + differentiable).
+    CPU runs the Pallas interpreter via LIBCONTINUAL_CONV=fused."""
+
+    def _force(self, monkeypatch):
+        monkeypatch.setenv("LIBCONTINUAL_CONV", "fused")
+
+    def test_fwd_matches_xla(self, monkeypatch):
+        self._force(monkeypatch)
+        from libcontinual_tpu.ops.conv import conv3x3, _xla_conv3x3, conv3x3_ok
+
+        rng = np.random.RandomState(0)
+        for b, h, w, c, o in [(4, 8, 8, 16, 32), (8, 16, 16, 8, 16)]:
+            x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+            k = jnp.asarray(rng.randn(3, 3, c, o) * 0.1, jnp.float32)
+            assert conv3x3_ok(x.shape)
+            assert np.allclose(np.asarray(conv3x3(x, k)),
+                               np.asarray(_xla_conv3x3(x, k)), atol=1e-4)
+
+    def test_grads_match_autodiff(self, monkeypatch):
+        self._force(monkeypatch)
+        from libcontinual_tpu.ops.conv import conv3x3, _xla_conv3x3
+
+        rng = np.random.RandomState(1)
+        b, h, w, c, o = 4, 8, 8, 16, 32
+        x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, c, o) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.randn(b, h, w, o), jnp.float32)
+        dx, dk = jax.grad(lambda x, k: jnp.sum(conv3x3(x, k) * g), (0, 1))(x, k)
+        dx0, dk0 = jax.grad(
+            lambda x, k: jnp.sum(_xla_conv3x3(x, k) * g), (0, 1))(x, k)
+        assert np.allclose(np.asarray(dx), np.asarray(dx0), atol=1e-3)
+        assert np.allclose(np.asarray(dk), np.asarray(dk0), atol=1e-3)
+
+    def test_cpu_defaults_to_xla(self, monkeypatch):
+        monkeypatch.delenv("LIBCONTINUAL_CONV", raising=False)
+        from libcontinual_tpu.ops.conv import conv3x3_ok
+
+        assert not conv3x3_ok((4, 8, 8, 16))
