@@ -71,3 +71,10 @@ class LWF(Method):
         )
         loss = ce + jnp.where(state.task > 0, self.lamda * kd, 0.0)
         return loss, {"logits": logits, "model_state": new_model_state}
+
+    def eval_logits(self, state, x, task_id):
+        """The reference head only spans the classes seen so far (grown per
+        task, lwf.py:28-40), so its eval argmax cannot select an unseen
+        class — mask the fixed-width head's unseen columns to match."""
+        logits = super().eval_logits(state, x, task_id)
+        return jnp.where(state.seen_mask[None, :] > 0, logits, -1e30)
