@@ -182,15 +182,11 @@ def _workload_rows():
     except Exception as e:  # tools/ missing or import-broken
         return {"error": f"{type(e).__name__}: {e}"}
     rows = {}
-    for name, builder in bw.WORKLOADS.items():
+    for name, spec in bw.WORKLOADS.items():
         if name == "L2P":
             continue  # the headline metric above IS the L2P step
         try:
-            method, wcfg = builder()
-            task_idx = 1 if name.startswith("OCM") else 0
-            if name.startswith("OCM"):
-                method._cur_task = 1  # incremental branch (joint replay fwd)
-            ips = bw.time_step(method, wcfg, task_idx=task_idx)
+            wcfg, ips = bw.run_workload(spec)
             rows[name] = {"batch": wcfg["batch_size"],
                           "img_per_sec": round(ips, 1)}
         except Exception as e:

@@ -94,6 +94,15 @@ class EWC(Method):
         the torch loader's live RNG, which is unmirrorable — here the stream
         is a deterministic fold of ``state.rng``; under randomness-free
         transforms the two coincide exactly (lockstep-tested).
+
+        Documented approximation: when the task size does not divide the
+        batch size, ``batch_iter`` pads the final batch by duplicating rows
+        with weight 0. The weights zero those rows out of the CE (so the
+        Fisher gradients match the reference's smaller final batch), but the
+        duplicated rows still enter the TRAIN-mode BatchNorm batch statistics
+        — the batch-stat denominators and the mutated running stats differ
+        slightly from the reference's short batch. All shipped EWC configs
+        and the lockstep tests use divisible sizes, where this vanishes.
         """
 
         def lfn(p):
@@ -129,28 +138,29 @@ class EWC(Method):
         # constant alpha would underweight early-task Fisher 10x
         seen_classes = self.init_cls_num + task_idx * self.inc_cls_num
         alpha = 1.0 - self.inc_cls_num / seen_classes
-        if task_idx == 0:
-            # first Fisher: stored as-is (reference merge loop runs over an
-            # empty dict at task 0)
-            merged = fisher
-        else:
-            merged = jax.tree_util.tree_map(
-                lambda old, new: alpha * old + (1 - alpha) * new,
-                state.mvars["fisher"], fisher,
-            )
-            # the reference merges only the rows that existed in the OLD
-            # fisher (``new_fisher[n][:len(old)] = ...``, ewc.py:131-133):
-            # head rows added by the current task keep their full new Fisher,
-            # unmerged. Backbone leaves all pre-exist (same shapes), so only
-            # the class axis of the head needs the split.
-            old_classes = seen_classes - self.inc_cls_num
-            keep = jnp.arange(self.num_class) < old_classes
-            hd_new = fisher["head"]["Dense_0"]
-            hd_mrg = merged["head"]["Dense_0"]
-            merged["head"]["Dense_0"] = {
-                "kernel": jnp.where(keep[None, :], hd_mrg["kernel"], hd_new["kernel"]),
-                "bias": jnp.where(keep, hd_mrg["bias"], hd_new["bias"]),
-            }
+        # The merge runs at task 0 too: reference ``self.fisher`` is
+        # ZERO-initialized over the init_cls_num head in __init__
+        # (ewc.py:67-68), not empty — so the task-0 Fisher comes out scaled
+        # by (1-alpha) = inc/init (a no-op only when init == inc).
+        merged = jax.tree_util.tree_map(
+            lambda old, new: alpha * old + (1 - alpha) * new,
+            state.mvars["fisher"], fisher,
+        )
+        # the reference merges only the rows that existed in the OLD
+        # fisher (``new_fisher[n][:len(old)] = ...``, ewc.py:131-133):
+        # head rows added by the current task keep their full new Fisher,
+        # unmerged. Backbone leaves all pre-exist (same shapes), so only
+        # the class axis of the head needs the split. At task 0 the
+        # __init__ fisher already spans the init_cls_num head, so all
+        # task-0 head rows merge.
+        old_classes = self.init_cls_num if task_idx == 0 else seen_classes - self.inc_cls_num
+        keep = jnp.arange(self.num_class) < old_classes
+        hd_new = fisher["head"]["Dense_0"]
+        hd_mrg = merged["head"]["Dense_0"]
+        merged["head"]["Dense_0"] = {
+            "kernel": jnp.where(keep[None, :], hd_mrg["kernel"], hd_new["kernel"]),
+            "bias": jnp.where(keep, hd_mrg["bias"], hd_new["bias"]),
+        }
         mvars = dict(state.mvars)
         mvars["fisher"] = merged
         mvars["ref_params"] = copy_tree(state.params)

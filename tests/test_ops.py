@@ -185,3 +185,21 @@ class TestConv3x3:
         from libcontinual_tpu.ops.conv import conv3x3_ok
 
         assert not conv3x3_ok((4, 8, 8, 16))
+
+    def test_xla_fallback_grads_match_autodiff(self, monkeypatch):
+        """The non-fused branch of _conv3x3_bwd (hand-written
+        conv_general_dilated dx/dw) — the path every CPU/default run takes."""
+        monkeypatch.delenv("LIBCONTINUAL_CONV", raising=False)
+        from libcontinual_tpu.ops.conv import conv3x3, conv3x3_ok, _xla_conv3x3
+
+        rng = np.random.RandomState(2)
+        b, h, w, c, o = 4, 8, 8, 16, 32
+        x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, c, o) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.randn(b, h, w, o), jnp.float32)
+        assert not conv3x3_ok(x.shape)  # custom-vjp fallback branch active
+        dx, dk = jax.grad(lambda x, k: jnp.sum(conv3x3(x, k) * g), (0, 1))(x, k)
+        dx0, dk0 = jax.grad(
+            lambda x, k: jnp.sum(_xla_conv3x3(x, k) * g), (0, 1))(x, k)
+        assert np.allclose(np.asarray(dx), np.asarray(dx0), atol=1e-3)
+        assert np.allclose(np.asarray(dk), np.asarray(dk0), atol=1e-3)

@@ -384,3 +384,110 @@ def test_ewc_two_task_lockstep(tmp_path):
         np.testing.assert_allclose(
             mine_s, t.numpy(), rtol=tol, atol=1e-5,
             err_msg=f"post-Fisher running stats diverged at {path}")
+
+
+# ---------------------------------------------------------------------------
+# init_cls_num != inc_cls_num merge differential
+# ---------------------------------------------------------------------------
+
+def test_ewc_fisher_merge_init_ne_inc():
+    """Fisher-merge differential at init_cls_num != inc_cls_num — the seam
+    the full lockstep's INIT==INC geometry cannot see: the reference merge
+    loop runs at task 0 too, over the ZERO-initialized ``self.fisher`` from
+    __init__ (reference ewc.py:67-68, :129-133), so the task-0 Fisher comes
+    out scaled by (1-alpha) = inc/init (here 0.5 — an unscaled task-0 Fisher
+    would be 2x off). Both boundaries' after_task run on the EXECUTING
+    reference (getFisher + merge) and on this framework from identically
+    synced weights and data; the merged Fisher is compared leaf by leaf."""
+    ref_resnet = _refload.ref_module("core.model.backbone.resnet")
+    ref_ewc = _refload.ref_module("core.model.ewc")
+
+    import libcontinual_tpu.methods  # noqa: F401 — populate the registry
+    from libcontinual_tpu.data.continual import TaskData
+    from libcontinual_tpu.registry import METHODS
+
+    INIT2, INC2, TASKS2 = 4, 2, 3
+    NUM2 = INIT2 + INC2 * (TASKS2 - 1)  # 8
+    B2, PER_TASK = 4, 12
+
+    torch.manual_seed(41)
+    tm = ref_ewc.EWC(ref_resnet.cifar_resnet20(), FEAT, NUM2,
+                     init_cls_num=INIT2, inc_cls_num=INC2, task_num=TASKS2,
+                     lamda=LAMDA, device=DEV)
+
+    cfg = {
+        "dataset": "synthetic", "image_size": 32,
+        "task_num": TASKS2, "init_cls_num": INIT2, "inc_cls_num": INC2,
+        "batch_size": B2, "epoch": 1, "dtype": "float32", "seed": 3,
+        "backbone": {"name": "cifar_resnet20", "kwargs": {}},
+        "classifier": {"name": "EWC", "kwargs": {
+            "num_class": NUM2, "feat_dim": FEAT, "init_cls_num": INIT2,
+            "inc_cls_num": INC2, "task_num": TASKS2, "lamda": LAMDA}},
+        "train_trfms": [{"Normalize": {"mean": [MEAN] * 3, "std": [STD] * 3}}],
+        "test_trfms": [{"Normalize": {"mean": [MEAN] * 3, "std": [STD] * 3}}],
+        "optimizer": {"name": "SGD", "kwargs": {"lr": 0.01}},
+        "lr_scheduler": {"name": "Constant"},
+    }
+    m = METHODS.get("EWC")(cfg)
+    state = m.init_state(jax.random.PRNGKey(0), (32, 32, 3))
+
+    rng = np.random.RandomState(77)
+    for task in range(2):
+        lo = 0 if task == 0 else INIT2 + (task - 1) * INC2
+        hi = INIT2 + task * INC2
+        tm.before_task(task, None, None, None)  # head width -> hi
+        _randomize_torch(tm.network, 700 + task)
+
+        # sync my side FROM torch (carrying over only my own fisher/ref_params
+        # — the unit under test at the second boundary)
+        blocks, sc, sb = S.blocks_cifar(tm.network.backbone)
+        fv = S.sync_resnet(blocks, sc, sb)
+        k = np.zeros((FEAT, NUM2), np.float32)
+        b = np.zeros((NUM2,), np.float32)
+        k[:, :hi] = S.lin_k(tm.network.classifier.weight)
+        b[:hi] = S.t2n(tm.network.classifier.bias)
+        params = {"backbone": fv["params"],
+                  "head": {"Dense_0": {"kernel": jnp.asarray(k),
+                                       "bias": jnp.asarray(b)}}}
+        mvars = dict(state.mvars)
+        mvars["model_state"] = {"batch_stats": fv["batch_stats"]}
+        state = state.replace(params=params, mvars=mvars)
+        state = m.start_task(state, task, lo, hi)
+
+        imgs = rng.randint(0, 256, size=(PER_TASK, 32, 32, 3)).astype(np.uint8)
+        labels = rng.randint(lo, hi, size=(PER_TASK,)).astype(np.int32)
+
+        tm.after_task(task, None,
+                      FisherLoader(imgs, labels.astype(np.int64), B2), None)
+        state = m.after_task(
+            state, task, TaskData(images=imgs, labels=labels,
+                                  class_lo=lo, class_hi=hi))
+
+        # merged Fisher must agree on both sides after EVERY boundary
+        name_of = {id(p): n for n, p in tm.network.named_parameters()}
+        my_fisher = _host_tree(state.mvars["fisher"])
+        worst = 0.0
+        for t, path, inv in S.resnet_param_pairs(blocks, sc, sb, linear=None):
+            name = name_of[id(t)]
+            ref_f = tm.fisher[name].numpy()
+            mine_f = inv(S.tree_get(my_fisher, path))
+            bound = 2.0 * np.sqrt(np.abs(ref_f)) * FISHER_GRAD_NOISE + FISHER_ATOL
+            excess = float((np.abs(mine_f - ref_f) / bound).max())
+            assert excess <= 1.0, (
+                f"task{task} merged Fisher diverged at {name} "
+                f"(init!=inc): exceeds noise bound by {excess:.2f}x")
+            worst = max(worst, excess)
+        # head: reference rows span [0:hi); my fixed-width cols beyond hi
+        # carry exactly-zero Fisher (masked softmax)
+        hk = np.asarray(my_fisher["head"]["Dense_0"]["kernel"])  # (FEAT, NUM2)
+        hb = np.asarray(my_fisher["head"]["Dense_0"]["bias"])
+        ref_hk = tm.fisher["classifier.weight"].numpy()  # (hi, FEAT)
+        ref_hb = tm.fisher["classifier.bias"].numpy()
+        for mine_f, ref_f in ((hk[:, :hi].T, ref_hk), (hb[:hi], ref_hb)):
+            bound = 2.0 * np.sqrt(np.abs(ref_f)) * FISHER_GRAD_NOISE + FISHER_ATOL
+            excess = float((np.abs(mine_f - ref_f) / bound).max())
+            assert excess <= 1.0, (
+                f"task{task} merged head Fisher diverged (init!=inc): "
+                f"exceeds noise bound by {excess:.2f}x")
+        assert float(np.abs(hk[:, hi:]).max()) == 0.0
+        print(f"task{task} merged-fisher worst noise-bound fraction {worst:.2e}")

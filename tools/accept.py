@@ -35,7 +35,8 @@ GATES = {
 }
 
 
-def run_one(name, data_root, pretrained, synthetic, overrides=None):
+def run_one(name, data_root, pretrained, synthetic, overrides=None,
+            dtype="bfloat16"):
     from run_trainer import resolve_config
 
     from libcontinual_tpu.config import Config
@@ -43,6 +44,11 @@ def run_one(name, data_root, pretrained, synthetic, overrides=None):
 
     cfg_name, target, tol, extra = GATES[name]
     ov = dict(extra)
+    # gates run at the PRODUCTION precision by default (bfloat16,
+    # core/method.py:116-117) — the accuracy evidence must describe the
+    # shipped configuration; --dtype float32 reproduces the reference's
+    # fp32 training exactly
+    ov["dtype"] = dtype
     ov.update(overrides or {})
     if synthetic:
         # tiny smoke geometry on the synthetic source: proves the acceptance
@@ -105,13 +111,18 @@ def main(argv=None):
                    help="tiny synthetic smoke of the acceptance path")
     p.add_argument("--overrides", nargs="*", default=None,
                    help="extra key=value config overrides")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="compute precision for the gate runs "
+                        "(default: the production bfloat16)")
     args = p.parse_args(argv)
 
     from run_trainer import parse_overrides
 
     names = ["icarl", "l2p"] if args.which == "both" else [args.which]
     results = [run_one(n, args.data_root, args.pretrained, args.synthetic,
-                       parse_overrides(args.overrides)) for n in names]
+                       parse_overrides(args.overrides), dtype=args.dtype)
+               for n in names]
     ok = all(r["pass"] for r in results)
     print(f"ACCEPTANCE {'PASS' if ok else 'FAIL'} "
           f"({sum(r['pass'] for r in results)}/{len(results)} gates)")

@@ -103,35 +103,54 @@ def time_step(method, cfg, task_idx=0, n_steps=50):
     return n_steps * bs / dt
 
 
+def _ocm_incremental(method):
+    method._cur_task = 1  # incremental branch (joint replay forward)
+
+
+def run_workload(spec):
+    """Build + time one WORKLOADS entry; the per-workload geometry
+    (task_idx, post-build setup) lives in the spec itself so callers
+    (main below, bench.py) never match on names."""
+    method, cfg = spec["build"]()
+    setup = spec.get("setup")
+    if setup is not None:
+        setup(method)
+    ips = time_step(method, cfg, task_idx=spec.get("task_idx", 0))
+    return cfg, ips
+
+
+# Each entry: build() -> (method, cfg); task_idx = which task's train_step
+# geometry to bench; setup = optional post-build mutation.
 WORKLOADS = {
     # prompt family, ViT-B/16, CIFAR-100 b10-inc10 shipped geometry
-    "L2P": lambda: build_method(
+    "L2P": {"build": lambda: build_method(
         "L2P", {"prompt_length": 5, "pool_size": 10, "top_k": 5,
                 "pull_constraint_coeff": 0.1},
-        ("ViTZoo", {}, 768)),
-    "DualPrompt": lambda: build_method(
+        ("ViTZoo", {}, 768))},
+    "DualPrompt": {"build": lambda: build_method(
         "DualPrompt", {"e_prompt_length": 20, "g_prompt_length": 6,
                        "pool_size": 10},
-        ("ViTZoo", {}, 768)),
-    "CODAPrompt": lambda: build_method(
+        ("ViTZoo", {}, 768))},
+    "CODAPrompt": {"build": lambda: build_method(
         "CodaPrompt", {"prompt_length": 8, "pool_size": 100, "mu": 0.0},
-        ("ViTZoo", {}, 768)),
+        ("ViTZoo", {}, 768))},
     # CLIP contrastive, both towers + MoE adapters (b10-10-10 geometry)
-    "MoE_Adapter4CL": lambda: build_method(
+    "MoE_Adapter4CL": {"build": lambda: build_method(
         "MOE_ADAPTER4CL", {}, ("clip", {"moe_experts": 2}, 512),
-        batch_size=64),
+        batch_size=64)},
     # ResNet rehearsal (cifar stem), iCaRL b10-inc10 geometry
-    "iCaRL_resnet18": lambda: build_method(
+    "iCaRL_resnet18": {"build": lambda: build_method(
         "ICarl", {}, ("resnet18", {}, 512),
-        extra_cfg={"dataset": "cifar100"}),
+        extra_cfg={"dataset": "cifar100"})},
     # online: 16x rotation expansion + simclr aug + joint replay forward —
     # measured at the incremental-task shape (the expensive one)
-    "OCM_resnet18": lambda: build_method(
+    "OCM_resnet18": {"build": lambda: build_method(
         "OCM", {"feat_dim": 512}, ("resnet18", {}, 512),
         extra_cfg={"dataset": "cifar100",
                    "buffer": {"name": "OnlineBuffer",
                               "kwargs": {"buffer_size": 1000}}},
         batch_size=10, num_class=100),
+        "task_idx": 1, "setup": _ocm_incremental},
 }
 
 
@@ -140,14 +159,10 @@ def main():
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
     rows = []
-    for name, builder in WORKLOADS.items():
+    for name, spec in WORKLOADS.items():
         if args.only and args.only.lower() not in name.lower():
             continue
-        method, cfg = builder()
-        task_idx = 1 if name.startswith("OCM") else 0
-        if name.startswith("OCM"):
-            method._cur_task = 1  # incremental branch (joint replay forward)
-        ips = time_step(method, cfg, task_idx=task_idx)
+        cfg, ips = run_workload(spec)
         rows.append((name, cfg["batch_size"], round(ips, 1)))
         print(json.dumps({"workload": name, "batch": cfg["batch_size"],
                           "img_per_sec": round(ips, 1)}), flush=True)

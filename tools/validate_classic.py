@@ -50,25 +50,21 @@ METHODS = [
 
 
 def main():
-    from libcontinual_tpu.core.trainer import Trainer
+    from _validate_common import cli_args, header, run_row
+
+    args = cli_args()
+    print(f"dtype={args.dtype} seeds={args.seeds} (seed0={args.seed0})")
+    header(args.seeds)
     for label, name, kwargs, buf, strat in METHODS:
+        if args.only and args.only.lower() not in label.lower():
+            continue
         cfg = base_cfg()
+        cfg["dtype"] = args.dtype
         cfg["classifier"] = {"name": name, "kwargs": {**COMMON, **kwargs}}
         cfg["buffer"] = {"name": "LinearBuffer",
                          "kwargs": {"buffer_size": buf, "batch_size": 16,
                                     "strategy": strat}}
-        try:
-            tr = Trainer(cfg)
-            res = tr.train_loop()
-            at = np.asarray(res["acc_table"])
-            last = at[-1]
-            print(f"| {label} | {last.mean():.1f} | "
-                  f"{res['task_ovr_avg_acc']:.1f} | "
-                  f"{res['ovr_frgt']:.1f} | {res['ovr_bwt']:.1f} | "
-                  f"{np.round(last, 1).tolist()} |", flush=True)
-        except Exception as e:
-            print(f"| {label} | FAIL {type(e).__name__}: {str(e)[:80]} |",
-                  flush=True)
+        run_row(label, cfg, args.seeds, args.seed0)
 
 
 if __name__ == "__main__":

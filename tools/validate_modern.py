@@ -50,10 +50,16 @@ METHODS = [
 
 
 def main():
-    from libcontinual_tpu.core.trainer import Trainer
-    rows = []
+    from _validate_common import cli_args, header, run_row
+
+    args = cli_args()
+    print(f"dtype={args.dtype} seeds={args.seeds} (seed0={args.seed0})")
+    header(args.seeds)
     for label, name, kwargs, bkw in METHODS:
+        if args.only and args.only.lower() not in label.lower():
+            continue
         cfg = base_cfg()
+        cfg["dtype"] = args.dtype
         if name == "Finetune":
             cfg["classifier"] = {"name": name,
                                  "kwargs": {"num_class": 20, "feat_dim": 64}}
@@ -61,19 +67,7 @@ def main():
             cfg["classifier"] = {"name": name, "kwargs": {**COMMON, **kwargs}}
         if bkw:
             cfg["backbone"] = {"name": "vit_tiny_test", "kwargs": bkw}
-        try:
-            tr = Trainer(cfg)
-            res = tr.train_loop()
-            at = np.asarray(res["acc_table"])
-            last = at[-1]
-            row = (f"| {label} | {last.mean():.1f} | "
-                   f"{res['task_ovr_avg_acc']:.1f} | "
-                   f"{res['ovr_frgt']:.1f} | {res['ovr_bwt']:.1f} | "
-                   f"{np.round(last, 1).tolist()} |")
-        except Exception as e:
-            row = f"| {label} | FAIL {type(e).__name__}: {str(e)[:80]} |"
-        print(row, flush=True)
-        rows.append(row)
+        run_row(label, cfg, args.seeds, args.seed0)
 
 
 if __name__ == "__main__":
