@@ -133,6 +133,17 @@ def main():
         st, losses = jax.lax.scan(body, state, None, length=n_steps)
         return st, jnp.sum(losses)
 
+    # XLA's own flop count for the program (scan body counted once —
+    # see tools/bench_workloads.py) cross-checks the analytic 13.4 TFLOP
+    # estimate below
+    xla_flops = None
+    try:
+        ca = run.lower(state).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        xla_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # compile + warm
     state, s = run(state)
     float(s)
@@ -164,8 +175,79 @@ def main():
         "mfu_vs_197tflops_peak": round(achieved / 197e12, 3),
         "mfu_vs_128tflops_measured_ceiling": round(achieved / 128e12, 3),
     }
+    if xla_flops:
+        # independent cross-check of the analytic FLOP model: XLA-counted
+        # program flops x n_steps / wall (scan body counted once)
+        record["xla_counted_tflops"] = round(
+            xla_flops * n_steps / dt / 1e12, 1)
     record["workloads"] = _workload_rows()
+    record["end_to_end"] = _end_to_end_block()
     print(json.dumps(record))
+
+
+def _end_to_end_block():
+    """Whole-run wall-clock + retrace audit: a FULL 10-task iCaRL run
+    through the real Trainer (synthetic CIFAR geometry), with
+    jax.monitoring compile counters. The steady-state step benches above
+    never see compile time — a per-task retrace regression (O(tasks)
+    compilations instead of O(1) per program) would ship invisibly without
+    this block. Set BENCH_E2E=0 to skip."""
+    import os
+
+    if os.environ.get("BENCH_E2E", "1") == "0":
+        return {"skipped": "BENCH_E2E=0"}
+    try:
+        from libcontinual_tpu.utils import jaxcache
+
+        jaxcache.install_counters()
+        base = jaxcache.counters_snapshot()
+        from libcontinual_tpu.config import Config
+        from libcontinual_tpu.core.trainer import Trainer
+
+        cfg = Config(overrides={
+            "dataset": "cifar100", "data_root": "", "image_size": 32,
+            "task_num": 10, "init_cls_num": 10, "inc_cls_num": 10,
+            "epoch": 2, "batch_size": 128, "per_class": 60, "seed": 1993,
+            "val_per_epoch": 0, "testing_times": 1, "dtype": "bfloat16",
+            "mesh": {"data": 1, "model": 1},
+            "backbone": {"name": "resnet18", "kwargs": {}},
+            "classifier": {"name": "ICarl", "kwargs": {
+                "num_class": 100, "feat_dim": 512, "init_cls_num": 10,
+                "inc_cls_num": 10, "task_num": 10}},
+            "buffer": {"name": "LinearHerdingBuffer",
+                       "kwargs": {"buffer_size": 200, "batch_size": 128}},
+            "optimizer": {"name": "SGD",
+                          "kwargs": {"lr": 0.05, "momentum": 0.9}},
+            "lr_scheduler": {"name": "Constant"}, "warmup": 0,
+        }).get_config_dict()
+        t0 = time.perf_counter()
+        tr = Trainer(cfg)
+        overall = tr.train_loop()
+        wall = time.perf_counter() - t0
+        snap = jaxcache.counters_snapshot()
+        programs = len(tr._jit_cache)
+        traces = sum(
+            f._cache_size() for f in tr._jit_cache.values()
+            if hasattr(f, "_cache_size"))
+        # O(1) compilations per program family, NOT O(tasks): equal task
+        # sizes + a quota-stable buffer give each trainer program <= 2
+        # distinct shapes (task-0 size, incremental+buffer size); a
+        # per-task retrace would put traces near 10x programs
+        retrace_ok = traces <= 2 * programs + 4
+        return {
+            "protocol": "10-task iCaRL resnet18, 60 img/class synthetic "
+                        "CIFAR geometry, 2 epochs/task, herding buffer 200",
+            "wall_clock_s": round(wall, 1),
+            "train_time_s": round(float(overall["time_sec"]), 1),
+            "compiles": snap["compiles"] - base["compiles"],
+            "compile_secs": round(snap["compile_secs"] - base["compile_secs"], 2),
+            "persistent_cache_hits": snap["cache_hits"] - base["cache_hits"],
+            "trainer_programs": programs,
+            "trainer_traces": traces,
+            "retrace_ok": bool(retrace_ok),
+        }
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
 
 
 def _workload_rows():
@@ -186,9 +268,13 @@ def _workload_rows():
         if name == "L2P":
             continue  # the headline metric above IS the L2P step
         try:
-            wcfg, ips = bw.run_workload(spec)
+            wcfg, ips, tflops = bw.run_workload(spec)
             rows[name] = {"batch": wcfg["batch_size"],
                           "img_per_sec": round(ips, 1)}
+            if tflops:
+                rows[name]["achieved_tflops"] = round(tflops, 1)
+                rows[name]["pct_of_128tf_ceiling"] = round(
+                    100 * tflops / 128, 1)
         except Exception as e:
             rows[name] = {"error": f"{type(e).__name__}: {e}"}
     return rows

@@ -177,6 +177,14 @@ class Trainer:
                 self.state, self.acc_table = ckpt.restore(
                     self.ckpt_dir, last, tmpl, self.buffer, self.method
                 )
+                # restored arrays come back committed to the checkpoint's
+                # placement; re-lay them out on THIS trainer's mesh so a
+                # cross-topology resume (save on n devices, restore on m)
+                # doesn't feed single-device-committed params into programs
+                # whose batch inputs are sharded over the new mesh
+                self.state = jax.device_put(
+                    self.state, self.mesh.param_sharding(self.state)
+                )
                 self._resume_from = last
                 self.log.info("resumed from checkpoint after task %d", last)
 

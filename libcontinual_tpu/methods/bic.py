@@ -198,11 +198,16 @@ class BiC(Method):
             [float(state.mvars["alphas"][task_idx]), float(state.mvars["betas"][task_idx])]
         )
         opt_state = self._bias_tx.init(ab)
-        bs = int(self.config["batch_size"])
+        # the reference's stage-2 val loader hardcodes batch_size=100
+        # (bic.py:292); the forward runs in eval mode so the padded tail
+        # (weight 0) is exact
+        bs = int(self.kwargs.get("stage2_batch_size", 100))
+        self._stage2_losses = []  # diagnostics (read by the lockstep test)
         for _ in range(self.stage2_epoch):
             order = rng.permutation(len(vl))
             for im, lb, w in batch_iter(vi[order], vl[order], bs):
-                ab, opt_state, _ = self._stage2_step(state, ab, opt_state, im, lb, w)
+                ab, opt_state, ls = self._stage2_step(state, ab, opt_state, im, lb, w)
+                self._stage2_losses.append(float(ls))
         mvars = dict(state.mvars)
         mvars["alphas"] = mvars["alphas"].at[task_idx].set(ab[0])
         mvars["betas"] = mvars["betas"].at[task_idx].set(ab[1])

@@ -78,13 +78,23 @@ class GPM(Method):
             shape = g.shape
             gf = g.reshape(-1, shape[-1])  # (in_flat, out)
             bb[name] = (gf - proj @ gf).reshape(shape)
-        # freeze BN on incremental tasks (reference gpm.py:134-138)
-        bnt = state.mvars["bn_trainable"]
-        for k in list(bb.keys()):
-            if k.startswith("bn"):
-                bb[k] = jax.tree_util.tree_map(lambda g: g * bnt, bb[k])
         grads["backbone"] = bb
         return grads
+
+    def trainable_mask(self, state):
+        """Freeze BN on incremental tasks (reference gpm.py:134-138 sets
+        requires_grad False) — as an update mask, not a grad gate, so a
+        configured weight_decay cannot leak into the frozen parameters
+        through the optax chain (torch's frozen params receive NO update)."""
+        bnt = state.mvars["bn_trainable"]
+
+        def leaf_mask(path, p):
+            keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+            frozen = any(str(k).startswith("bn") for k in keys)
+            return jnp.full_like(p, jnp.where(frozen, bnt, 1.0)) if frozen \
+                else jnp.ones_like(p)
+
+        return jax.tree_util.tree_map_with_path(leaf_mask, state.params)
 
     # ------------------------------------------------------- subspace growth
 

@@ -122,7 +122,13 @@ class AlexNetTRGP(nn.Module):
 
 @BACKBONES.register("AlexNet_TRGP", aliases=("alexnet_trgp", "AlexNet"))
 def alexnet_trgp(**kwargs):
-    return AlexNetTRGP(dtype=kwargs.get("dtype", jnp.float32))
+    # dropout rates are ctor args upstream too (reference alexnet.py:96
+    # dropout_rate_1/dropout_rate_2) — accept both spellings
+    return AlexNetTRGP(
+        dtype=kwargs.get("dtype", jnp.float32),
+        dropout1=float(kwargs.get("dropout1", kwargs.get("dropout_rate_1", 0.2))),
+        dropout2=float(kwargs.get("dropout2", kwargs.get("dropout_rate_2", 0.5))),
+    )
 
 
 class AlexNetAPI(nn.Module):

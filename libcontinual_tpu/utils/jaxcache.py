@@ -118,3 +118,57 @@ def enable(path: str = "/root/.jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+# ---------------------------------------------------------------- counters
+#
+# Compile/hit accounting for the whole-run retrace audit (bench.py
+# --end-to-end): a per-task retrace regression would otherwise ship
+# invisibly — steady-state step benchmarks never see compile time.
+
+_counters = {"events": {}, "durations": {}}
+_installed = False
+
+
+def install_counters() -> None:
+    """Start counting jax.monitoring events: backend compiles (count +
+    seconds), persistent-cache hits/misses, trace time. Idempotent."""
+    global _installed
+    if _installed:
+        return
+    try:
+        from jax import monitoring
+
+        def _on_event(name, **kw):
+            _counters["events"][name] = _counters["events"].get(name, 0) + 1
+
+        def _on_duration(name, secs, **kw):
+            cnt, tot = _counters["durations"].get(name, (0, 0.0))
+            _counters["durations"][name] = (cnt + 1, tot + float(secs))
+
+        monitoring.register_event_listener(_on_event)
+        monitoring.register_event_duration_secs_listener(_on_duration)
+        _installed = True
+    except Exception:
+        pass
+
+
+def counters_snapshot() -> dict:
+    """{"compiles": n, "compile_secs": s, "cache_hits": n, "traces": n}
+    plus the raw event tables (cumulative since install_counters)."""
+    ev, du = _counters["events"], _counters["durations"]
+
+    def _sum(table, needle, idx=None):
+        if idx is None:
+            return sum(v for k, v in table.items() if needle in k)
+        return sum(v[idx] for k, v in table.items() if needle in k)
+
+    return {
+        "compiles": _sum(du, "backend_compile", 0),
+        "compile_secs": round(_sum(du, "backend_compile", 1), 2),
+        "cache_hits": _sum(ev, "cache_hit") + _sum(du, "cache_hit", 0),
+        "traces": _sum(du, "trace", 0),
+        "trace_secs": round(_sum(du, "trace", 1), 2),
+        "raw_events": dict(ev),
+        "raw_durations": {k: (v[0], round(v[1], 2)) for k, v in du.items()},
+    }

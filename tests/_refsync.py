@@ -325,3 +325,127 @@ def write_momentum(pairs, trace_tree, optim):
         buf = torch.from_numpy(inv(np.asarray(tree_get(trace_tree, path),
                                               np.float32)))
         optim.state[t]["momentum_buffer"] = buf
+
+
+# ------------------------------------------------------------- AlexNet_TRGP
+
+ALEX_KSIZES = (4, 3, 2)
+ALEX_CHANS = (3, 64, 128)
+
+
+def alex_perms():
+    """Flat-order permutations per projected AlexNet layer: torch flattens
+    conv weights/acts as (C, kh, kw) and the conv3->fc1 input as (C, h, w);
+    this framework uses (kh, kw, C) / (h, w, C). perm[torch_idx] = my_idx."""
+    perms = []
+    for k, c in zip(ALEX_KSIZES, ALEX_CHANS):
+        p = np.empty(c * k * k, np.int64)
+        for ci in range(c):
+            for h in range(k):
+                for w in range(k):
+                    p[ci * k * k + h * k + w] = (h * k + w) * c + ci
+        perms.append(p)
+    p = np.empty(1024, np.int64)  # conv3 out: (256, 2, 2) vs (2, 2, 256)
+    for ci in range(256):
+        for h in range(2):
+            for w in range(2):
+                p[ci * 4 + h * 2 + w] = (h * 2 + w) * 256 + ci
+    perms.append(p)
+    perms.append(np.arange(2048, dtype=np.int64))  # fc2 input: features
+    return perms
+
+
+def sync_alexnet(tm_net):
+    """torch AlexNet_TRGP -> my AlexNetTRGP flax params (fc1 rows permuted
+    to the (h, w, C) flatten order)."""
+    perms = alex_perms()
+    p = {}
+    for i, conv in enumerate([tm_net.conv1, tm_net.conv2, tm_net.conv3]):
+        p[f"conv{i}_kernel"] = conv_k(conv.weight)
+    for i, bn in enumerate([tm_net.bn1, tm_net.bn2, tm_net.bn3,
+                            tm_net.bn4, tm_net.bn5]):
+        p[f"bn{i}"] = {"scale": t2n(bn.weight), "bias": t2n(bn.bias)}
+    fc1 = lin_k(tm_net.fc1.weight)  # (1024, 2048) torch-flat rows
+    fc1_mine = np.empty_like(fc1)
+    fc1_mine[perms[3]] = fc1
+    p["fc3_kernel"] = fc1_mine
+    p["fc4_kernel"] = lin_k(tm_net.fc2.weight)
+    return p
+
+
+def alexnet_param_pairs(tm_net, perms=None):
+    """(torch tensor, path into my {backbone,...} pytree, flax->torch
+    transform) triples for AlexNet_TRGP — the inverse of sync_alexnet,
+    used by the GPM lockstep's piecewise resync."""
+    perms = perms or alex_perms()
+
+    def inv_fc3(a):  # my (h,w,C)-flat rows -> torch (C,h,w)-flat weight
+        return np.ascontiguousarray(np.asarray(a)[perms[3]].T)
+
+    prs = []
+    for i, conv in enumerate([tm_net.conv1, tm_net.conv2, tm_net.conv3]):
+        prs.append((conv.weight, ("backbone", f"conv{i}_kernel"), inv_conv_k))
+    for i, bn in enumerate([tm_net.bn1, tm_net.bn2, tm_net.bn3,
+                            tm_net.bn4, tm_net.bn5]):
+        prs.append((bn.weight, ("backbone", f"bn{i}", "scale"), _ident))
+        prs.append((bn.bias, ("backbone", f"bn{i}", "bias"), _ident))
+    prs.append((tm_net.fc1.weight, ("backbone", "fc3_kernel"), inv_fc3))
+    prs.append((tm_net.fc2.weight, ("backbone", "fc4_kernel"), inv_lin_k))
+    return prs
+
+
+def preact_param_pairs(model, linear=None):
+    """(torch tensor, path, flax->torch transform) triples for the
+    reference ResNet_BIC / my PreActCifarResNet (inverse of
+    sync_preact_resnet), for the BiC lockstep's piecewise resync."""
+    prs = [(model.conv1.weight, ("backbone", "conv_stem", "kernel"),
+            inv_conv_k)]
+    i = 0
+    for stage in (model.layer1, model.layer2, model.layer3):
+        for b in stage:
+            n = f"PreActBasicBlock_{i}"
+            prs += [
+                (b.conv1.weight, ("backbone", n, "Conv_0", "kernel"), inv_conv_k),
+                (b.conv2.weight, ("backbone", n, "Conv_1", "kernel"), inv_conv_k),
+                (b.bn1.weight, ("backbone", n, "BatchNorm_0", "scale"), _ident),
+                (b.bn1.bias, ("backbone", n, "BatchNorm_0", "bias"), _ident),
+                (b.bn2.weight, ("backbone", n, "BatchNorm_1", "scale"), _ident),
+                (b.bn2.bias, ("backbone", n, "BatchNorm_1", "bias"), _ident),
+            ]
+            if b.downsample is not None:
+                prs.append((b.downsample[0].weight,
+                            ("backbone", n, "downsample", "kernel"),
+                            inv_conv_k))
+            i += 1
+    prs += [
+        (model.bn.weight, ("backbone", "bn_final", "scale"), _ident),
+        (model.bn.bias, ("backbone", "bn_final", "bias"), _ident),
+    ]
+    if linear is not None:
+        prs += [
+            (linear.weight, ("head", "Dense_0", "kernel"), inv_lin_k),
+            (linear.bias, ("head", "Dense_0", "bias"), _ident),
+        ]
+    return prs
+
+
+def preact_stat_pairs(model):
+    """(torch running-stat buffer, path into batch_stats) pairs for
+    ResNet_BIC / PreActCifarResNet."""
+    prs = []
+    i = 0
+    for stage in (model.layer1, model.layer2, model.layer3):
+        for b in stage:
+            n = f"PreActBasicBlock_{i}"
+            prs += [
+                (b.bn1.running_mean, (n, "BatchNorm_0", "mean")),
+                (b.bn1.running_var, (n, "BatchNorm_0", "var")),
+                (b.bn2.running_mean, (n, "BatchNorm_1", "mean")),
+                (b.bn2.running_var, (n, "BatchNorm_1", "var")),
+            ]
+            i += 1
+    prs += [
+        (model.bn.running_mean, ("bn_final", "mean")),
+        (model.bn.running_var, ("bn_final", "var")),
+    ]
+    return prs

@@ -952,48 +952,9 @@ def test_ranpac_ridge_sweep_and_solve():
 # ---------------------------------------------------------------- GPM
 
 
-KSIZES = (4, 3, 2)
-CHANS = (3, 64, 128)
-
-
-def _alex_perms():
-    """Flat-order permutations per projected layer: torch flattens conv
-    weights/acts as (C, kh, kw) and the conv3->fc1 input as (C, h, w); this
-    framework uses (kh, kw, C) / (h, w, C). perm[torch_idx] = my_idx."""
-    perms = []
-    for k, c in zip(KSIZES, CHANS):
-        p = np.empty(c * k * k, np.int64)
-        for ci in range(c):
-            for h in range(k):
-                for w in range(k):
-                    p[ci * k * k + h * k + w] = (h * k + w) * c + ci
-        perms.append(p)
-    p = np.empty(1024, np.int64)  # conv3 out: (256, 2, 2) vs (2, 2, 256)
-    for ci in range(256):
-        for h in range(2):
-            for w in range(2):
-                p[ci * 4 + h * 2 + w] = (h * 2 + w) * 256 + ci
-    perms.append(p)
-    perms.append(np.arange(2048, dtype=np.int64))  # fc2 input: plain features
-    return perms
-
-
-def _sync_alexnet(tm_net):
-    """torch AlexNet_TRGP -> my AlexNetTRGP flax params (fc1 rows permuted
-    to the (h, w, C) flatten order)."""
-    perms = _alex_perms()
-    p = {}
-    for i, conv in enumerate([tm_net.conv1, tm_net.conv2, tm_net.conv3]):
-        p[f"conv{i}_kernel"] = S.conv_k(conv.weight)
-    for i, bn in enumerate([tm_net.bn1, tm_net.bn2, tm_net.bn3,
-                            tm_net.bn4, tm_net.bn5]):
-        p[f"bn{i}"] = {"scale": S.t2n(bn.weight), "bias": S.t2n(bn.bias)}
-    fc1 = S.lin_k(tm_net.fc1.weight)  # (1024, 2048) torch-flat rows
-    fc1_mine = np.empty_like(fc1)
-    fc1_mine[perms[3]] = fc1  # wrong direction guard: perms[t]=mine
-    p["fc3_kernel"] = fc1_mine
-    p["fc4_kernel"] = S.lin_k(tm_net.fc2.weight)
-    return p
+# flat-order helpers shared with the GPM lockstep (tests/_refsync.py)
+_alex_perms = S.alex_perms
+_sync_alexnet = S.sync_alexnet
 
 
 def test_gpm_loss_and_projected_grads():

@@ -127,3 +127,85 @@ def test_export_default_geometry_is_storage_not_resize_target(tiny_config):
     live_x = tr.method.augment(None, jnp.asarray(x), train=False)
     live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
     np.testing.assert_allclose(served, live, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------- nontrivial readouts
+#
+# The six special eval paths could silently bake the WRONG readout into
+# the artifact exactly where eval differs from masked-argmax; these three
+# cover the families: NME (iCaRL, reference icarl.py:122-152),
+# bias-corrected (BiC, bic.py:155-163), projected ridge (RanPAC,
+# ranpac.py:201-212,265-266).
+
+
+def _readout_cfg(tiny_config, method, kwargs, backbone=None, buffer=None,
+                 extra=None):
+    cfg = copy.deepcopy(tiny_config)
+    cfg["epoch"] = 1
+    cfg["classifier"] = {"name": method, "kwargs": {
+        "num_class": 8, "feat_dim": 32, "init_cls_num": 4,
+        "inc_cls_num": 4, "task_num": 2, **kwargs}}
+    if backbone is not None:
+        cfg["backbone"] = backbone
+    if buffer is not None:
+        cfg["buffer"] = buffer
+    cfg.update(extra or {})
+    return cfg
+
+
+def _assert_export_matches_live(tr, n_class=8):
+    blob = export_from_trainer(tr, batch_size=6, platforms=("cpu",))
+    model = ServingModel.load(blob)
+    rng = np.random.RandomState(9)
+    x = rng.rand(6, 32, 32, 3).astype(np.float32)
+    served = np.asarray(model(jnp.asarray(x)))
+    live_x = tr.method.augment(None, jnp.asarray(x), train=False)
+    live = np.asarray(tr.method.eval_logits(tr.state, live_x, -1))
+    np.testing.assert_allclose(served, live, rtol=1e-5, atol=1e-5)
+    assert served.shape == (6, n_class)
+    return served
+
+
+def test_export_icarl_nme_readout(tiny_config):
+    """The baked program must carry the class-mean NME scores (negative
+    squared distances), not the linear head."""
+    cfg = _readout_cfg(
+        tiny_config, "ICarl", {},
+        buffer={"name": "LinearHerdingBuffer",
+                "kwargs": {"buffer_size": 16, "batch_size": 16}})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    served = _assert_export_matches_live(tr)
+    # NME scores are negative squared distances on the seen prefix
+    assert np.all(served[:, :8] <= 0.0)
+
+
+def test_export_bic_bias_corrected_readout(tiny_config):
+    """The baked program must apply the stage-2-trained per-task
+    (alpha, beta) bias layers."""
+    cfg = _readout_cfg(
+        tiny_config, "bic", {"T": 2.0},
+        buffer={"name": "LinearSpiltBuffer",
+                "kwargs": {"buffer_size": 16, "batch_size": 16,
+                           "strategy": "equal_random", "split_ratio": 0.25}},
+        extra={"stage2_epoch": 2})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    alphas = np.asarray(tr.state.mvars["alphas"])
+    betas = np.asarray(tr.state.mvars["betas"])
+    assert abs(alphas[1] - 1.0) > 1e-4 or abs(betas[1]) > 1e-4, (
+        "stage 2 did not move the bias layer; the export test would be "
+        "vacuous")
+    _assert_export_matches_live(tr)
+
+
+def test_export_ranpac_ridge_readout(tiny_config):
+    """The baked program must take the random-projection ridge branch
+    (rp_ready), not the warmup linear head."""
+    cfg = _readout_cfg(
+        tiny_config, "RanPAC", {"M": 32, "feat_dim": 64},
+        backbone={"name": "vit_tiny_test", "kwargs": {"adapter_dim": 8}})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    assert float(tr.state.mvars["rp_ready"]) > 0
+    _assert_export_matches_live(tr)

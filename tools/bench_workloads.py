@@ -69,6 +69,20 @@ def build_method(name, classifier_kwargs, backbone, extra_cfg=None,
     return METHODS.get(name)(cfg), cfg
 
 
+def program_flops(jitted, *args):
+    """XLA's own FLOP count for the compiled program (cost analysis) —
+    the denominator for achieved-TFLOP/s accounting. None when the
+    backend doesn't expose it."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
 def time_step(method, cfg, task_idx=0, n_steps=50):
     bs = cfg["batch_size"]
     rng = np.random.RandomState(0)
@@ -92,6 +106,11 @@ def time_step(method, cfg, task_idx=0, n_steps=50):
         st, losses = jax.lax.scan(body, state, None, length=n_steps)
         return st, jnp.sum(losses)
 
+    # XLA's cost analysis counts a lax.scan BODY ONCE regardless of trip
+    # count (verified: a 10-iteration matmul scan reports 1x the matmul),
+    # so the executed total is ~ n_steps x the counted program; the
+    # once-executed prologue inflates this by at most 1/n_steps (2%)
+    flops = program_flops(run, state)
     state, s = run(state)
     float(s)  # compile + warm
     dt = float("inf")
@@ -100,7 +119,9 @@ def time_step(method, cfg, task_idx=0, n_steps=50):
         state, s = run(state)
         float(s)
         dt = min(dt, time.perf_counter() - t0)
-    return n_steps * bs / dt
+    ips = n_steps * bs / dt
+    tflops = (flops * n_steps / dt / 1e12) if flops else None
+    return ips, tflops
 
 
 def _ocm_incremental(method):
@@ -110,13 +131,14 @@ def _ocm_incremental(method):
 def run_workload(spec):
     """Build + time one WORKLOADS entry; the per-workload geometry
     (task_idx, post-build setup) lives in the spec itself so callers
-    (main below, bench.py) never match on names."""
+    (main below, bench.py) never match on names. Returns
+    (cfg, img/s, achieved TFLOP/s or None)."""
     method, cfg = spec["build"]()
     setup = spec.get("setup")
     if setup is not None:
         setup(method)
-    ips = time_step(method, cfg, task_idx=spec.get("task_idx", 0))
-    return cfg, ips
+    ips, tflops = time_step(method, cfg, task_idx=spec.get("task_idx", 0))
+    return cfg, ips, tflops
 
 
 # Each entry: build() -> (method, cfg); task_idx = which task's train_step
@@ -134,10 +156,14 @@ WORKLOADS = {
     "CODAPrompt": {"build": lambda: build_method(
         "CodaPrompt", {"prompt_length": 8, "pool_size": 100, "mu": 0.0},
         ("ViTZoo", {}, 768))},
-    # CLIP contrastive, both towers + MoE adapters (b10-10-10 geometry)
+    # CLIP contrastive, both towers + MoE adapters (b10-10-10 geometry).
+    # image_size=224 is load-bearing: the clip transform preset resizes to
+    # the configured image_size, so the default 32 would bench a 5-token
+    # degenerate tower (caught by the XLA flop accounting in round 5 —
+    # earlier rounds' 3200 img/s row was this wrong geometry)
     "MoE_Adapter4CL": {"build": lambda: build_method(
         "MOE_ADAPTER4CL", {}, ("clip", {"moe_experts": 2}, 512),
-        batch_size=64)},
+        batch_size=64, image_size=224)},
     # ResNet rehearsal (cifar stem), iCaRL b10-inc10 geometry
     "iCaRL_resnet18": {"build": lambda: build_method(
         "ICarl", {}, ("resnet18", {}, 512),
@@ -162,14 +188,19 @@ def main():
     for name, spec in WORKLOADS.items():
         if args.only and args.only.lower() not in name.lower():
             continue
-        cfg, ips = run_workload(spec)
-        rows.append((name, cfg["batch_size"], round(ips, 1)))
+        cfg, ips, tflops = run_workload(spec)
+        rows.append((name, cfg["batch_size"], round(ips, 1),
+                     round(tflops, 1) if tflops else None))
         print(json.dumps({"workload": name, "batch": cfg["batch_size"],
-                          "img_per_sec": round(ips, 1)}), flush=True)
-    print("\n| Workload | Batch | img/s |")
-    print("|---|---|---|")
-    for name, bs, ips in rows:
-        print(f"| {name} | {bs} | {ips} |")
+                          "img_per_sec": round(ips, 1),
+                          "achieved_tflops": round(tflops, 1) if tflops else None,
+                          "pct_of_128tf_ceiling":
+                              round(100 * tflops / 128, 1) if tflops else None}),
+              flush=True)
+    print("\n| Workload | Batch | img/s | TF/s (XLA-counted) |")
+    print("|---|---|---|---|")
+    for name, bs, ips, tf in rows:
+        print(f"| {name} | {bs} | {ips} | {tf if tf else '-'} |")
 
 
 if __name__ == "__main__":
