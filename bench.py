@@ -205,11 +205,24 @@ def _end_to_end_block():
         from libcontinual_tpu.core.trainer import Trainer
 
         cfg = Config(overrides={
-            "dataset": "cifar100", "data_root": "", "image_size": 32,
+            "dataset": "synthetic", "data_root": "", "image_size": 32,
             "task_num": 10, "init_cls_num": 10, "inc_cls_num": 10,
             "epoch": 2, "batch_size": 128, "per_class": 60, "seed": 1993,
             "val_per_epoch": 0, "testing_times": 1, "dtype": "bfloat16",
             "mesh": {"data": 1, "model": 1},
+            # the shipped cifar recipe's transform stack, stated explicitly
+            # (the synthetic source doesn't trigger the cifar preset)
+            "train_trfms": [
+                {"RandomCrop": {"size": 32, "padding": 4}},
+                {"RandomHorizontalFlip": {}},
+                {"ColorJitter": {"brightness": 63 / 255}},
+                {"Normalize": {"mean": [0.5071, 0.4865, 0.4409],
+                               "std": [0.2673, 0.2564, 0.2762]}},
+            ],
+            "test_trfms": [
+                {"Normalize": {"mean": [0.5071, 0.4865, 0.4409],
+                               "std": [0.2673, 0.2564, 0.2762]}},
+            ],
             "backbone": {"name": "resnet18", "kwargs": {}},
             "classifier": {"name": "ICarl", "kwargs": {
                 "num_class": 100, "feat_dim": 512, "init_cls_num": 10,

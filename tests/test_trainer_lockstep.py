@@ -6,11 +6,25 @@ math; this test catches the integration seams it cannot: optimizer-step
 ordering around observe's internal backward+clip (reference
 trainer.py:593-606), per-task optimizer re-init (:294), per-epoch
 scheduler stepping, shuffle-stream usage, transform placement, and the
-task-boundary hook order. Both sides start from identical weights, consume
-identical batch orders (my trainer's deterministic shuffle stream,
-replayed on the torch side), and train 2 tasks x 3 epochs x 2 steps with
-Adam; per-epoch mean losses must track within fp tolerance and the final
-acc_table must agree.
+task-boundary hook order.
+
+Protocol — PIECEWISE lockstep (the same re-sync-each-epoch protocol as
+every other lockstep; see test_trainer_lockstep_icarl.py for the fp-chaos
+measurement). L2P adds a reason of its own: the prompt-pool top-k key
+match and batch-majority dedup are DISCRETE selections, so once fp drift
+accumulates across updates a near-tie can flip one prompt choice and move
+the loss by percents — a whole-trajectory comparison is chaos-bound even
+on a frozen trunk (observed: epoch-0 agreement at 2e-6, epoch-1 off by
+7e-2 from one flipped selection). Re-synced from my captured epoch states
+(params + Adam mu/nu/count), every epoch's per-step losses and epoch-end
+params are asserted from a common start. The pool runs at top_k ==
+pool_size: the pull constraint actively drags keys toward queries, so
+top-k BOUNDARY near-ties become generic after a few updates and flip on
+the ~1e-6 torch-vs-flax forward difference even from identical parameters
+(measured: 2e-3 loss shift from one flipped prompt at a synced epoch
+start). Selecting the whole pool removes only the tie lottery; the top-k
+selection math itself is pinned by the margin-safe step-level loss parity
+and eval-parity key-match tests.
 
 Reference loop semantics executed here: L2P.observe backward + clip inside
 observe (l2p.py:102-104), trainer zero_grad-before / step-after
@@ -19,9 +33,6 @@ observe (l2p.py:102-104), trainer zero_grad-before / step-after
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 import pytest
 
@@ -29,6 +40,7 @@ pytestmark = pytest.mark.parity  # executing-torch tier (opt-in: -m parity)
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 import _refload
@@ -39,6 +51,8 @@ NUM_CLASS = 8
 BATCH, EPOCHS, PER_CLASS = 4, 3, 2
 LR, SEED = 5e-3, 11
 MEAN, STD = 0.5, 0.25
+TOL_STEP_LOSS = 2e-3
+TOL_PARAM = 2e-3
 
 
 def _my_config():
@@ -55,7 +69,7 @@ def _my_config():
         "classifier": {"name": "L2P", "kwargs": {
             "num_class": NUM_CLASS, "feat_dim": 768, "init_cls_num": INIT,
             "inc_cls_num": INC, "task_num": TASKS, "prompt_length": 5,
-            "pool_size": 10, "top_k": 5, "pull_constraint_coeff": 0.1}},
+            "pool_size": 5, "top_k": 5, "pull_constraint_coeff": 0.1}},
         "train_trfms": [{"Normalize": {"mean": [MEAN] * 3, "std": [STD] * 3}}],
         "test_trfms": [{"Normalize": {"mean": [MEAN] * 3, "std": [STD] * 3}}],
         "buffer": {"name": "LinearBuffer",
@@ -72,6 +86,20 @@ def _to_torch(img_u8):
     return torch.from_numpy(x.transpose(0, 3, 1, 2))
 
 
+
+
+def _host_tree(t):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), jax.device_get(t))
+
+
+def _find_adam(opt_state):
+    for part in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: hasattr(x, "mu")):
+        if hasattr(part, "mu"):
+            return {"mu": part.mu, "nu": part.nu, "count": part.count}
+    raise AssertionError("Adam state not found in opt_state")
+
+
 def test_l2p_two_task_lockstep(tmp_path):
     ref_vit = _refload.ref_module("core.model.backbone.vit")
     ref_l2p = _refload.ref_module("core.model.l2p")
@@ -83,7 +111,7 @@ def test_l2p_two_task_lockstep(tmp_path):
     torch.manual_seed(7)  # margin-safe prompt keys (same as the loss test)
     zoo = ref_vit.ViTZoo(pretrained=False)
     kw = dict(num_class=NUM_CLASS, feat_dim=768, prompt_length=5,
-              pool_size=10, top_k=5, pull_constraint_coeff=0.1,
+              pool_size=5, top_k=5, pull_constraint_coeff=0.1,
               init_cls_num=INIT, inc_cls_num=INC, task_num=TASKS)
     tm = ref_l2p.L2P(zoo, torch.device("cpu"), **kw)
     g = torch.Generator().manual_seed(1101)
@@ -96,7 +124,6 @@ def test_l2p_two_task_lockstep(tmp_path):
     # ---- my side: full Trainer, weights overwritten from the torch model
     cfg = _my_config()
     trainer = Trainer(cfg, workdir=str(tmp_path))
-    import jax
 
     frozen = jax.tree_util.tree_map(
         jnp.asarray, S.sync_vit(tm.network.backbone.feat, 12))
@@ -114,22 +141,66 @@ def test_l2p_two_task_lockstep(tmp_path):
     mvars["frozen"] = frozen
     trainer.state = trainer.state.replace(params=params, mvars=mvars)
 
+    captures = {}
+
+    def _capture(task_idx, epoch_idx, state, step_losses):
+        captures[(task_idx, epoch_idx)] = {
+            "params": _host_tree(state.params),
+            "adam": _host_tree(_find_adam(state.opt_state)),
+            "losses": np.asarray(step_losses, np.float64),
+        }
+
+    trainer.epoch_hook = _capture
     overall = trainer.train_loop()
     my_acc_table = np.asarray(overall["acc_table"])[:TASKS, :TASKS]
-    events = [json.loads(l) for l in
-              open(os.path.join(tmp_path, "events.jsonl"))]
-    my_losses = {(e["task"], e["epoch"]): e["loss"]
-                 for e in events if e.get("kind") == "train_epoch"}
+    assert set(captures) == {(t, e) for t in range(TASKS)
+                             for e in range(EPOCHS)}
 
-    # ---- torch side: the reference trainer loop, same data + batch order
-    t_losses = {}
+    # my pytree path -> torch tensor (+ flax->torch transform); the torch
+    # prompt carries a leading singleton dim my params drop
+    def _inv_prompt(a):
+        return np.asarray(a)[None].copy()
+
+    pairs = [
+        (tm.network.backbone.prompt.prompt, ("prompt", "prompt"), _inv_prompt),
+        (tm.network.backbone.prompt.prompt_key, ("prompt", "key"), S._ident),
+        (tm.network.classifier.weight, ("head", "Dense_0", "kernel"),
+         S.inv_lin_k),
+        (tm.network.classifier.bias, ("head", "Dense_0", "bias"), S._ident),
+    ]
+
+    def _resync(cap, optim=None):
+        for t, path, inv in pairs:
+            with torch.no_grad():
+                t.copy_(torch.from_numpy(inv(S.tree_get(cap["params"], path))))
+        if optim is not None:
+            adam = cap["adam"]
+            step = torch.tensor(float(adam["count"]))
+            for t, path, inv in pairs:
+                optim.state[t] = {
+                    "step": step.clone(),
+                    "exp_avg": torch.from_numpy(
+                        inv(S.tree_get(adam["mu"], path))),
+                    "exp_avg_sq": torch.from_numpy(
+                        inv(S.tree_get(adam["nu"], path))),
+                }
+
+    # ---- torch side: the reference trainer loop, same data + batch order,
+    # re-synced to my captured state at each epoch start
     t_acc_table = np.zeros((TASKS, TASKS))
+    drift = {"loss": 0.0, "param": 0.0}
     for task in range(TASKS):
         td = trainer.train_stream.task(task)
         n = len(td)
         tm.before_task(task, None, None, None)
         optim = torch.optim.Adam(tm.get_parameters(cfg), lr=LR)
         for epoch in range(EPOCHS):
+            if epoch > 0:
+                _resync(captures[(task, epoch - 1)], optim)
+            elif task > 0:
+                # fresh per-task optimizer (reference trainer.py:294) has
+                # no Adam state; params pinned from my end-of-prev-task
+                _resync(captures[(task - 1, EPOCHS - 1)])
             perm = native.shuffled_indices(n, SEED + task * 100003 + epoch)
             steps = n // BATCH
             losses = []
@@ -142,7 +213,24 @@ def test_l2p_two_task_lockstep(tmp_path):
                 _, _, loss = tm.observe(batch)  # backward + clip inside
                 optim.step()
                 losses.append(float(loss.detach()))
-            t_losses[(task, epoch)] = float(np.mean(losses))
+            cap = captures[(task, epoch)]
+            dl = np.abs(np.asarray(losses) - cap["losses"]).max()
+            drift["loss"] = max(drift["loss"], float(dl))
+            assert dl <= TOL_STEP_LOSS, (
+                f"step losses diverged at task{task} epoch{epoch}: "
+                f"max |diff| {dl:.2e}\nref  {losses}\nmine "
+                f"{cap['losses'].tolist()}")
+            dp = 0.0
+            for t, path, inv in pairs:
+                dp = max(dp, float(np.abs(
+                    t.detach().numpy()
+                    - inv(S.tree_get(cap["params"], path))).max()))
+            drift["param"] = max(drift["param"], float(dp))
+            assert dp <= TOL_PARAM, (
+                f"epoch-end params diverged at task{task} epoch{epoch}: "
+                f"max |diff| {dp:.2e}")
+        # pin end-of-task state before the boundary + eval
+        _resync(captures[(task, EPOCHS - 1)])
         tm.after_task(task, None, None, None)
         seen = INIT + task * INC
         for t_prev in range(task + 1):
@@ -155,12 +243,8 @@ def test_l2p_two_task_lockstep(tmp_path):
             t_acc_table[task, t_prev] = round(
                 100.0 * float(np.mean(preds == te.labels)), 2)
 
-    # ---- lockstep assertions
-    for key in sorted(t_losses):
-        t, j = t_losses[key], my_losses[key]
-        assert abs(t - j) <= 2e-3 * max(1.0, abs(t)), (
-            f"epoch loss diverged at task{key[0]} epoch{key[1]}: "
-            f"ref {t:.6f} vs mine {j:.6f}\nref {t_losses}\nmine {my_losses}")
+    print(f"lockstep drift: max step-loss {drift['loss']:.2e} "
+          f"max epoch-end param {drift['param']:.2e}")
     np.testing.assert_allclose(
         my_acc_table, t_acc_table, atol=1e-6,
         err_msg=f"acc_table diverged\nref\n{t_acc_table}\nmine\n{my_acc_table}")
