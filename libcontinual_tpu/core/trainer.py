@@ -329,6 +329,16 @@ class Trainer:
         n = len(task_data)
         if epochs <= 0:
             return
+        # commit the state to the mesh layout before entering the jitted
+        # epoch: task boundaries rebuild parts of mvars on the host
+        # (class means, projection bases), and jit keys on argument
+        # placement — a mixed committed/uncommitted tree costs one extra
+        # trace+compile per distinct boundary signature (measured via the
+        # end_to_end retrace audit: 4 epoch-program traces for 2 data
+        # shapes). A no-op when everything is already laid out.
+        self.state = jax.device_put(
+            self.state, self.mesh.param_sharding(self.state)
+        )
         images, labels = self._device_task_data(task_data)
         seed = int(self.config.get("seed", 0))
         profile = bool(self.config.get("profile")) and task_idx == 0
