@@ -127,13 +127,18 @@ class LUCIR(Method):
         params["head"]["kernel"] = jnp.asarray(new_k)
         return state.replace(params=params)
 
-    def transform_grads(self, grads, state):
-        grads = jax.tree_util.tree_map(lambda x: x, grads)
-        grads["head"] = dict(grads["head"])
-        grads["head"]["kernel"] = (
-            grads["head"]["kernel"] * state.mvars["head_col_mask"][None, :]
-        )
-        return grads
+    def trainable_mask(self, state):
+        """Freeze old head columns on incremental tasks as an UPDATE mask:
+        the reference pins fc1 with an lr=0, weight_decay=0 param group
+        (lucir.py:232-238), so the frozen embeddings receive NO update —
+        a gradient-only gate would still let the optax chain's coupled
+        weight decay (5e-4 at the shipped configs) shrink them."""
+        col = state.mvars["head_col_mask"]
+        mask = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        mask["head"] = dict(mask["head"])
+        mask["head"]["kernel"] = jnp.ones_like(
+            state.params["head"]["kernel"]) * col[None, :]
+        return mask
 
     # ------------------------------------------------------------------ loss
 
