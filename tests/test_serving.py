@@ -209,3 +209,51 @@ def test_export_ranpac_ridge_readout(tiny_config):
     tr.train_loop()
     assert float(tr.state.mvars["rp_ready"]) > 0
     _assert_export_matches_live(tr)
+
+
+def test_export_lucir_cosine_readout(tiny_config):
+    """The baked program must carry the sigma-scaled cosine head (reference
+    lucir.py:125-128 eval through CosineLinear, resnet.py:418), not a plain
+    linear readout."""
+    cfg = _readout_cfg(
+        tiny_config, "LUCIR",
+        {"K": 2, "lw_mr": 1.0, "dist": 0.5, "lamda": 5.0},
+        buffer={"name": "LinearBuffer",
+                "kwargs": {"buffer_size": 16, "batch_size": 16,
+                           "strategy": "herding"}})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    served = _assert_export_matches_live(tr)
+    # cosine scores are bounded by |sigma| — a linear head would not be
+    sigma = abs(float(np.asarray(tr.state.params["head"]["sigma"])))
+    assert np.all(np.abs(served[:, :8]) <= sigma + 1e-4)
+    assert sigma > 1e-3
+
+
+def test_export_der_concat_readout(tiny_config):
+    """The baked program must run BOTH stacked extractors and feed the
+    concatenated features to the widened head (reference der.py:90-134),
+    i.e. bake the final active-count geometry, not the task-0 program."""
+    cfg = _readout_cfg(
+        tiny_config, "DER", {},
+        buffer={"name": "LinearBuffer",
+                "kwargs": {"buffer_size": 16, "batch_size": 16,
+                           "strategy": "random"}})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    assert np.asarray(tr.state.mvars["active"]).sum() == 2
+    _assert_export_matches_live(tr)
+
+
+def test_export_dualprompt_key_match_readout(tiny_config):
+    """The baked program must carry the full two-pass eval: frozen-query
+    forward, e-prompt key matching, prefix-KV prompted forward (reference
+    prompt.py:253-291, vit.py:100-127)."""
+    cfg = _readout_cfg(
+        tiny_config, "DualPrompt",
+        {"e_prompt_length": 4, "g_prompt_length": 4, "pool_size": 2,
+         "feat_dim": 64},
+        backbone={"name": "vit_tiny_test", "kwargs": {}})
+    tr = Trainer(cfg)
+    tr.train_loop()
+    _assert_export_matches_live(tr)
