@@ -5,8 +5,12 @@ Parity with reference core/model/der.py:
     sees the concatenation of all extractors' features (der.py:90-134);
   * auxiliary head on the newest extractor's features with remapped targets
     ``old -> 0, new -> y - known + 1`` (der.py:119-129);
-  * post-task weight align of the new-class classifier rows (der.py:184-192);
-  * herding exemplar replay (trainer-managed).
+  * herding exemplar replay (trainer-managed);
+  * ``weight_align`` (der.py:184-192) is DEAD CODE in the reference — defined
+    but never invoked (after_task inherits Finetune's no-op, finetune.py:44-45,
+    and the trainer has no DER special case; the PyCIL original this file was
+    adapted from does call it post-task). Exposed here as the opt-in kwarg
+    ``weight_align: true``; the default matches the executing reference (off).
 
 TPU re-design (the "per-task parameter growth under jit" hard case,
 SURVEY.md §7): extractors are ONE stacked param pytree with leading dim
@@ -37,6 +41,7 @@ class DER(Method):
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx)
         self.aux_classes = self.inc_cls_num + 1
+        self.weight_align = bool(self.kwargs.get("weight_align", False))
 
     def head_module(self):
         return None  # heads are built in init_state over concat features
@@ -225,8 +230,10 @@ class DER(Method):
         return state.replace(params=params, mvars=mvars)
 
     def after_task(self, state, task_idx, task_data):
-        """Weight align of new rows (der.py:184-192, WA-style)."""
-        if task_idx == 0:
+        """Optional weight align of new rows (der.py:184-192, WA-style) —
+        off by default: the reference never calls its weight_align (see the
+        module docstring), so the shipped behavior is the Finetune no-op."""
+        if task_idx == 0 or not self.weight_align:
             return state
         lo = self.init_cls_num + (task_idx - 1) * self.inc_cls_num
         hi = lo + self.inc_cls_num
